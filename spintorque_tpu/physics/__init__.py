@@ -1,0 +1,54 @@
+"""Physics engine: batched LLGS dynamics, thermal models, materials.
+
+TPU-native counterpart of the reference physics layer
+(spin_torque_gym/physics/__init__.py:10-22).
+"""
+
+from .integrator import (
+    IntegratorConfig,
+    PulseResult,
+    integrate_pulse,
+    integrate_pulse_trajectory,
+    max_substeps_for,
+    substep_counts,
+)
+from .llgs import (
+    LLGSParams,
+    dmdt,
+    effective_field,
+    energy_density,
+    normalize_with_fallback,
+    thermal_field_strength,
+)
+from .materials import MaterialDatabase, MaterialProperties
+from .solver import (
+    LLGSSolver,
+    RobustLLGSSolver,
+    ScalableLLGSSolver,
+    SimpleLLGSSolver,
+    params_from_dict,
+)
+from .thermal import ThermalFluctuations
+
+__all__ = [
+    "IntegratorConfig",
+    "PulseResult",
+    "integrate_pulse",
+    "integrate_pulse_trajectory",
+    "max_substeps_for",
+    "substep_counts",
+    "LLGSParams",
+    "dmdt",
+    "effective_field",
+    "energy_density",
+    "normalize_with_fallback",
+    "thermal_field_strength",
+    "MaterialDatabase",
+    "MaterialProperties",
+    "LLGSSolver",
+    "SimpleLLGSSolver",
+    "RobustLLGSSolver",
+    "ScalableLLGSSolver",
+    "params_from_dict",
+    "ThermalFluctuations",
+]

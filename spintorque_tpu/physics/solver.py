@@ -1,0 +1,206 @@
+"""Batched LLGS solver facades.
+
+``LLGSSolver`` is the user-facing equivalent of the reference's solver stack
+(SimpleLLGSSolver / RobustLLGSSolver / ScalableLLGSSolver / VectorizedSolver,
+spin_torque_gym/physics/simple_solver.py, utils/robust_solver.py,
+utils/scalable_solver.py, utils/vectorized_operations.py) collapsed into one
+jit-compiled batched object. Batching *is* the scaling strategy on TPU, so the
+reference's thread pools, retry ladders and result caches have no analog here;
+robustness is provided by construction (masked loop, NaN-guarded renormalize
+every substep - there is no exception path to retry).
+
+The solve method accepts a single (3,) vector or a (B, 3) batch and returns
+final magnetizations; set ``return_trajectory=True`` for the full path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .integrator import (
+    IntegratorConfig,
+    integrate_pulse,
+    integrate_pulse_trajectory,
+    max_substeps_for,
+)
+from .llgs import LLGSParams
+
+
+@partial(jax.jit, static_argnames=("config", "thermal"))
+def _solve_final_jit(m, span, current, params, config: IntegratorConfig,
+                     temperature, key, thermal: bool):
+    """Whole-solve jitted core: one compiled program per (shape, config).
+
+    Jitting end-to-end matters doubly on remote-compiled TPU backends where
+    every eager op is its own program compile.
+    """
+    from .llgs import normalize_with_fallback
+
+    nx, ny, nz = normalize_with_fallback(m[:, 0], m[:, 1], m[:, 2], m.dtype)
+    res = integrate_pulse(
+        (nx, ny, nz), span, current, params, config,
+        key=key if thermal else None, temperature=temperature,
+    )
+    return jnp.stack(res.m, axis=-1), res.n_substeps, res.dt
+
+
+@partial(jax.jit, static_argnames=("config", "thermal"))
+def _solve_traj_jit(m, span, current, params, config: IntegratorConfig,
+                    temperature, key, thermal: bool):
+    from .llgs import normalize_with_fallback
+
+    nx, ny, nz = normalize_with_fallback(m[:, 0], m[:, 1], m[:, 2], m.dtype)
+    res, traj = integrate_pulse_trajectory(
+        (nx, ny, nz), span, current, params, config,
+        key=key if thermal else None, temperature=temperature,
+    )
+    return jnp.transpose(traj, (2, 0, 1)), res.n_substeps, res.dt
+
+_DEFAULTS = dict(
+    saturation_magnetization=800e3,
+    damping=0.01,
+    uniaxial_anisotropy=1e6,
+    volume=1e-24,
+    polarization=0.7,
+)
+
+
+def params_from_dict(device_params: Dict[str, Any], dtype=jnp.float32) -> LLGSParams:
+    """Build LLGSParams from a reference-style device_params dict, applying
+    the same defaults the reference solver uses (simple_solver.py:310-315)."""
+    easy_axis = np.asarray(device_params.get("easy_axis", np.array([0.0, 0.0, 1.0])))
+    return LLGSParams(
+        saturation_magnetization=jnp.asarray(
+            device_params.get("saturation_magnetization", _DEFAULTS["saturation_magnetization"]), dtype
+        ),
+        damping=jnp.asarray(device_params.get("damping", _DEFAULTS["damping"]), dtype),
+        uniaxial_anisotropy=jnp.asarray(
+            device_params.get("uniaxial_anisotropy", _DEFAULTS["uniaxial_anisotropy"]), dtype
+        ),
+        volume=jnp.asarray(device_params.get("volume", _DEFAULTS["volume"]), dtype),
+        polarization=jnp.asarray(device_params.get("polarization", _DEFAULTS["polarization"]), dtype),
+        easy_axis=jnp.asarray(easy_axis, dtype),
+    )
+
+
+class LLGSSolver:
+    """Batched fixed-step LLGS solver (jit-compiled, TPU-resident).
+
+    Parameters mirror the reference SimpleLLGSSolver constructor
+    (simple_solver.py:24-45); rtol/atol are accepted for API compatibility
+    but the fixed-step methods do not use them (same as the reference).
+    """
+
+    def __init__(
+        self,
+        method: str = "rk4",
+        rtol: float = 1e-3,
+        atol: float = 1e-6,
+        max_step: float = 1e-12,
+        max_substeps: int = 5120,
+        timeout: float | None = None,  # accepted for API compat; unused
+        dtype=jnp.float32,
+    ):
+        method = method.lower()
+        if method not in ("euler", "rk4", "heun"):
+            method = "euler"
+        self.method = method
+        self.rtol = rtol
+        self.atol = atol
+        self.max_step = max_step
+        self.max_substeps = max_substeps
+        self.dtype = dtype
+        self.solve_count = 0
+
+    def _config(self, thermal: bool, noise_mode: str) -> IntegratorConfig:
+        return IntegratorConfig(
+            method=self.method,
+            max_step=self.max_step,
+            max_substeps=self.max_substeps,
+            thermal=thermal,
+            noise_mode=noise_mode,
+        )
+
+    def solve(
+        self,
+        m_initial,
+        t_span,
+        device_params: Dict[str, Any] | LLGSParams,
+        current: float | jnp.ndarray = 0.0,
+        thermal_noise: bool = False,
+        temperature: float = 300.0,
+        key: Optional[jax.Array] = None,
+        noise_mode: str = "reference",
+        return_trajectory: bool = False,
+    ) -> Dict[str, Any]:
+        """Solve the LLGS equation over (t_start, t_end) for one square pulse.
+
+        m_initial: (3,) or (B, 3). Returns a dict mirroring the reference
+        result surface: {'m': final (B,3) or trajectory, 'success', 'n_steps'}.
+        """
+        self.solve_count += 1
+        m = np.asarray(m_initial, dtype=np.dtype(self.dtype))
+        single = m.ndim == 1
+        if single:
+            m = m[None, :]
+        t_start, t_end = t_span
+        span = float(t_end) - float(t_start)
+        if span <= 0.0:
+            return {
+                "t": jnp.asarray([t_start, t_end], self.dtype),
+                "m": jnp.asarray(m_initial, self.dtype),
+                "success": True,
+                "message": "Trivial solution (zero time span)",
+                "n_steps": 1,
+            }
+        if isinstance(device_params, LLGSParams):
+            params = device_params.astype(self.dtype)
+        else:
+            params = params_from_dict(device_params, self.dtype)
+        m = jnp.asarray(m)
+        spans = jnp.full(m.shape[:1], span, self.dtype)
+        currents = jnp.broadcast_to(jnp.asarray(current, self.dtype), m.shape[:1])
+        cfg = self._config(thermal_noise, noise_mode)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        if return_trajectory:
+            traj, n_steps, dt = _solve_traj_jit(
+                m, spans, currents, params, cfg, temperature, key, thermal_noise
+            )
+            m_out = traj[0] if single else traj
+        else:
+            m_final, n_steps, dt = _solve_final_jit(
+                m, spans, currents, params, cfg, temperature, key, thermal_noise
+            )
+            m_out = m_final[0] if single else m_final
+
+        return {
+            "m": m_out,
+            "success": True,
+            "message": "Integration completed successfully",
+            "n_steps": n_steps[0] if single else n_steps,
+            "dt": dt[0] if single else dt,
+        }
+
+    def get_solver_info(self) -> Dict[str, Any]:
+        return {
+            "method": self.method,
+            "solve_count": self.solve_count,
+            "max_step": self.max_step,
+            "max_substeps": self.max_substeps,
+            "backend": jax.default_backend(),
+        }
+
+
+# Aliases mirroring the reference's public names (physics/__init__.py:10-22,
+# utils/robust_solver.py:22, utils/scalable_solver.py:23). On TPU they are the
+# same batched object: robustness and scale come from the compiled design.
+SimpleLLGSSolver = LLGSSolver
+RobustLLGSSolver = LLGSSolver
+ScalableLLGSSolver = LLGSSolver
