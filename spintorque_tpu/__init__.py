@@ -13,7 +13,9 @@ reference (spin_torque_gym/__init__.py:14-32).
 
 __version__ = "0.1.0"
 
-from . import constants, physics
+from . import constants, devices, physics, rewards
+from .devices import DeviceFactory, DeviceParams, create_device
+from .envs import EnvState, SpinTorqueEnv, SpinTorqueEnvConfig, TimeStep
 from .physics import (
     IntegratorConfig,
     LLGSParams,
@@ -22,6 +24,7 @@ from .physics import (
     SimpleLLGSSolver,
     ThermalFluctuations,
 )
+from .rewards import CompositeReward
 
 # Gymnasium registration is optional (gymnasium is an interop dependency, not
 # a core one); the functional API works without it.
@@ -34,12 +37,22 @@ except ImportError:  # gymnasium not installed or adapters not yet built
 
 __all__ = [
     "constants",
+    "devices",
     "physics",
+    "rewards",
+    "DeviceFactory",
+    "DeviceParams",
+    "create_device",
+    "EnvState",
+    "SpinTorqueEnv",
+    "SpinTorqueEnvConfig",
+    "TimeStep",
     "IntegratorConfig",
     "LLGSParams",
     "LLGSSolver",
     "SimpleLLGSSolver",
     "MaterialDatabase",
     "ThermalFluctuations",
+    "CompositeReward",
     "__version__",
 ]

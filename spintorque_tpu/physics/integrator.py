@@ -74,6 +74,18 @@ class PulseResult(NamedTuple):
     m: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # final components, each (B,)
     n_substeps: jnp.ndarray  # (B,) int32
     dt: jnp.ndarray  # (B,)
+    failed: jnp.ndarray  # (B,) bool - trajectory contained an all-zero row
+
+    # Why ``failed`` exists: in the reference, an RK4 blow-up can yield a
+    # step with finite components whose squared norm overflows to inf;
+    # m/inf then "normalizes" to an exact zero vector which the solver's
+    # validator accepts (simple_solver.py:208-229). The robust wrapper later
+    # walks the trajectory, raises on the zero row (robust_solver.py:196-205
+    # - and the raise escapes because validation.ValidationError is a
+    # different class from the error_handling.ValidationError it catches),
+    # the whole solve is discarded, and the env keeps the pre-step
+    # magnetization (spin_torque_env.py:461-467). Net reference semantics:
+    # such pulses FREEZE the state. We reproduce that with this flag.
 
 
 def _noise_sigma(params: LLGSParams, temperature, dt, config: IntegratorConfig, dtype):
@@ -193,18 +205,23 @@ def integrate_pulse(
         return carry[0] < n_max
 
     def body(carry):
-        i, mx, my, mz = carry
+        i, mx, my, mz, failed = carry
         nx, ny, nz = _substep((mx, my, mz), dt, current, params, config, sigma, key, i)
         active = i < n
+        zero_row = active & (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
         return (
             i + 1,
             jnp.where(active, nx, mx),
             jnp.where(active, ny, my),
             jnp.where(active, nz, mz),
+            failed | zero_row,
         )
 
-    _, mx, my, mz = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), mx0, my0, mz0))
-    return PulseResult(m=(mx, my, mz), n_substeps=n, dt=dt)
+    failed0 = jnp.zeros(jnp.shape(mx0), bool)
+    _, mx, my, mz, failed = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), mx0, my0, mz0, failed0)
+    )
+    return PulseResult(m=(mx, my, mz), n_substeps=n, dt=dt, failed=failed)
 
 
 def integrate_pulse_trajectory(
@@ -235,17 +252,20 @@ def integrate_pulse_trajectory(
         raise ValueError("integrate_pulse_trajectory: thermal=True requires a PRNG key")
 
     def step_fn(carry, i):
-        mx, my, mz = carry
+        mx, my, mz, failed = carry
         nx, ny, nz = _substep((mx, my, mz), dt, current, params, config, sigma, key, i)
         active = i < n
+        zero_row = active & (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
         mx = jnp.where(active, nx, mx)
         my = jnp.where(active, ny, my)
         mz = jnp.where(active, nz, mz)
-        return (mx, my, mz), jnp.stack([mx, my, mz])
+        return (mx, my, mz, failed | zero_row), jnp.stack([mx, my, mz])
 
-    (mx, my, mz), traj = lax.scan(
-        step_fn, (mx0, my0, mz0), jnp.arange(config.max_substeps, dtype=jnp.int32)
+    failed0 = jnp.zeros(jnp.shape(mx0), bool)
+    (mx, my, mz, failed), traj = lax.scan(
+        step_fn, (mx0, my0, mz0, failed0),
+        jnp.arange(config.max_substeps, dtype=jnp.int32),
     )
     first = jnp.stack([jnp.asarray(mx0, dtype), jnp.asarray(my0, dtype), jnp.asarray(mz0, dtype)])[None]
     traj = jnp.concatenate([first, traj], axis=0)
-    return PulseResult(m=(mx, my, mz), n_substeps=n, dt=dt), traj
+    return PulseResult(m=(mx, my, mz), n_substeps=n, dt=dt, failed=failed), traj

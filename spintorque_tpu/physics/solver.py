@@ -46,7 +46,7 @@ def _solve_final_jit(m, span, current, params, config: IntegratorConfig,
         (nx, ny, nz), span, current, params, config,
         key=key if thermal else None, temperature=temperature,
     )
-    return jnp.stack(res.m, axis=-1), res.n_substeps, res.dt
+    return jnp.stack(res.m, axis=-1), res.n_substeps, res.dt, res.failed
 
 
 @partial(jax.jit, static_argnames=("config", "thermal"))
@@ -59,7 +59,7 @@ def _solve_traj_jit(m, span, current, params, config: IntegratorConfig,
         (nx, ny, nz), span, current, params, config,
         key=key if thermal else None, temperature=temperature,
     )
-    return jnp.transpose(traj, (2, 0, 1)), res.n_substeps, res.dt
+    return jnp.transpose(traj, (2, 0, 1)), res.n_substeps, res.dt, res.failed
 
 _DEFAULTS = dict(
     saturation_magnetization=800e3,
@@ -170,20 +170,28 @@ class LLGSSolver:
             key = jax.random.PRNGKey(0)
 
         if return_trajectory:
-            traj, n_steps, dt = _solve_traj_jit(
+            traj, n_steps, dt, failed = _solve_traj_jit(
                 m, spans, currents, params, cfg, temperature, key, thermal_noise
             )
             m_out = traj[0] if single else traj
         else:
-            m_final, n_steps, dt = _solve_final_jit(
+            m_final, n_steps, dt, failed = _solve_final_jit(
                 m, spans, currents, params, cfg, temperature, key, thermal_noise
             )
             m_out = m_final[0] if single else m_final
 
+        # Per-env failure flag mirrors the reference robust wrapper's
+        # discard-on-invalid-trajectory semantics (see PulseResult.failed).
+        any_failed = bool(jnp.any(failed))
         return {
             "m": m_out,
-            "success": True,
-            "message": "Integration completed successfully",
+            "success": not any_failed,
+            "failed": failed[0] if single else failed,
+            "message": (
+                "Integration completed successfully"
+                if not any_failed
+                else "Fallback result: magnetization has zero magnitude"
+            ),
             "n_steps": n_steps[0] if single else n_steps,
             "dt": dt[0] if single else dt,
         }

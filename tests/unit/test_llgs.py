@@ -172,12 +172,16 @@ def test_solver_facade_single_and_batch():
         damping=0.01, saturation_magnetization=800e3, uniaxial_anisotropy=1.2e6,
         volume=1e-23, polarization=0.7, easy_axis=np.array([0.0, 0.0, 1.0]),
     )
-    res = solver.solve(np.array([0.0, 0.1, 0.995]), (0.0, 1e-10), p, current=1e6)
+    res = solver.solve(np.array([0.0, 0.1, 0.995]), (0.0, 1e-10), p, current=1e2)
     assert res["success"]
     assert np.asarray(res["m"]).shape == (3,)
-    resb = solver.solve(np.tile([0.0, 0.1, 0.995], (4, 1)), (0.0, 1e-10), p, current=1e6)
+    resb = solver.solve(np.tile([0.0, 0.1, 0.995], (4, 1)), (0.0, 1e-10), p, current=1e2)
     assert np.asarray(resb["m"]).shape == (4, 3)
     np.testing.assert_allclose(np.asarray(resb["m"])[0], np.asarray(res["m"]), rtol=1e-12)
     # Zero span -> trivial solution.
     triv = solver.solve(np.array([0.0, 0.0, 1.0]), (0.0, 0.0), p)
     assert triv["success"] and triv["n_steps"] == 1
+    # Large current -> RK4 norm-overflow -> reference "freeze" failure
+    # (see PulseResult.failed). The facade reports success=False.
+    frozen = solver.solve(np.array([0.0, 0.1, 0.995]), (0.0, 1e-10), p, current=1e6)
+    assert not frozen["success"]
