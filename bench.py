@@ -1,0 +1,76 @@
+"""Headline benchmark: env-steps/s/chip on vectorized SpinTorque-v0.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Configuration follows BASELINE.json's north-star metric: 4096 vectorized
+SpinTorque-v0 envs (default physics: STT-MRAM, thermal fluctuations on,
+RK4, max_duration 5 ns), random continuous actions spanning the full action
+space, measured in steady state on the local accelerator.
+
+Baseline: the reference's measured 1.802 s/step single env on CPU
+(quality_gates_report.json "Performance") = 0.555 env-steps/s.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_STEPS_PER_S = 1.0 / 1.802  # reference quality-gate measurement
+
+
+def main():
+    from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+    from spintorque_tpu.parallel import random_policy
+
+    B = 4096
+    cfg = SpinTorqueEnvConfig(dtype="float32")  # defaults: thermal on, rk4, 5 ns
+    env = SpinTorqueEnv(batch_size=B, config=cfg)
+    policy = random_policy(env)
+
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+
+    @jax.jit
+    def step_n(state, obs, key, n=16):
+        def body(carry, k):
+            state, obs = carry
+            action = policy(None, obs, k)
+            state, ts = env._step_impl(state, action)
+            return (state, ts.obs), ts.reward.mean()
+        keys = jax.random.split(key, n)
+        (state, obs), rewards = jax.lax.scan(body, (state, obs), keys)
+        return state, obs, rewards.mean()
+
+    # Warmup / compile.
+    state, obs, _ = step_n(state, obs, key)
+    jax.block_until_ready(obs)
+
+    n_iters, n_inner = 5, 16
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sub = jax.random.split(key)
+        state, obs, r = step_n(state, obs, sub)
+    jax.block_until_ready(obs)
+    elapsed = time.perf_counter() - t0
+
+    total_steps = n_iters * n_inner * B
+    n_chips = jax.local_device_count()
+    steps_per_s_per_chip = total_steps / elapsed / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s_per_chip_4096envs_SpinTorque-v0",
+                "value": round(steps_per_s_per_chip, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(steps_per_s_per_chip / REFERENCE_STEPS_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
