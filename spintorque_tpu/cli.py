@@ -1,0 +1,289 @@
+"""Command-line interface: info / train / eval / benchmark / config.
+
+TPU counterpart of the reference CLI (spin_torque_gym/cli.py:43-418). The
+``train`` subcommand runs the native TPU PPO trainer by default (the
+reference shells out to stable-baselines3 on host CPU); ``--backend sb3``
+keeps the reference's behavior through the Gymnasium adapter when
+stable-baselines3 is installed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+    from .devices import DEVICE_TYPES
+    from .envs import SpinTorqueEnvConfig
+
+    print(f"spintorque-tpu {__version__}")
+    print(f"backend: {jax.default_backend()}  devices: {jax.device_count()}")
+    print("\nRegistered environments:")
+    for env_id, steps in [
+        ("SpinTorque-v0", 100),
+        ("SpinTorqueArray-v0", 200),
+        ("SkyrmionRacetrack-v0", 150),
+    ]:
+        print(f"  {env_id:24s} max_episode_steps={steps}")
+    print("\nDevice types:", ", ".join(DEVICE_TYPES))
+    cfg = SpinTorqueEnvConfig()
+    print("\nSpinTorque-v0 defaults:")
+    for k, v in cfg._asdict().items():
+        print(f"  {k:24s} {v}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from .config import ConfigManager
+    from .rl import PPOConfig, PPOTrainer
+
+    manager = ConfigManager(args.config)
+    c = manager.config
+    if args.timesteps:
+        c.training.total_timesteps = args.timesteps
+    if args.batch_size:
+        c.environment.batch_size = args.batch_size
+    if args.env and args.env != "SpinTorque-v0":
+        print(f"train currently targets SpinTorque-v0 (got {args.env})", file=sys.stderr)
+
+    if args.backend == "sb3":
+        return _train_sb3(args, c)
+
+    env = manager.make_env()
+    mesh = None
+    if jax.device_count() > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_model=max(1, c.compute.mesh_model))
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(
+            rollout_steps=c.training.rollout_steps,
+            num_epochs=c.training.num_epochs,
+            num_minibatches=c.training.num_minibatches,
+            learning_rate=c.training.learning_rate,
+            gamma=c.training.gamma,
+            gae_lambda=c.training.gae_lambda,
+            clip_eps=c.training.clip_eps,
+            hidden_sizes=tuple(c.training.hidden_sizes),
+        ),
+        mesh=mesh,
+    )
+
+    def log(i, metrics):
+        line = " ".join(f"{k}={v:.4g}" for k, v in sorted(metrics.items()))
+        print(f"update {i}: {line}")
+
+    ts, summary = trainer.train(
+        c.training.total_timesteps, seed=c.training.seed,
+        log_every=args.log_every, callback=log,
+    )
+    print(json.dumps({k: v for k, v in summary.items()}, default=float))
+
+    if args.output:
+        from .utils.checkpoint import save_params
+
+        save_params(args.output, ts.params)
+        print(f"saved policy parameters to {args.output}")
+    return 0
+
+
+def _train_sb3(args, c) -> int:
+    try:
+        import gymnasium as gym
+        import stable_baselines3 as sb3
+    except ImportError:
+        print("stable-baselines3 not installed; use --backend native", file=sys.stderr)
+        return 1
+    import spintorque_tpu  # noqa: F401  (registers env ids)
+
+    env = gym.make(args.env or "SpinTorque-v0")
+    algo = {"ppo": sb3.PPO, "sac": sb3.SAC, "td3": sb3.TD3}.get(args.algorithm)
+    if algo is None:
+        print(f"Unknown sb3 algorithm {args.algorithm}", file=sys.stderr)
+        return 1
+    model = algo("MlpPolicy", env, verbose=1)
+    t0 = time.time()
+    model.learn(total_timesteps=c.training.total_timesteps)
+    elapsed = time.time() - t0
+    if args.output:
+        model.save(args.output)
+    print(f"trained {c.training.total_timesteps} steps in {elapsed:.1f}s "
+          f"({c.training.total_timesteps / elapsed:.1f} steps/s)")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .config import ConfigManager
+    from .parallel import random_policy, rollout_jit, summarize
+
+    manager = ConfigManager(args.config)
+    if args.batch_size:
+        manager.config.environment.batch_size = args.batch_size
+    env = manager.make_env()
+
+    if args.model:
+        from .rl import PPOConfig, PPOTrainer
+        from .utils.checkpoint import load_params
+
+        trainer = PPOTrainer(env, PPOConfig())
+        params = load_params(args.model)
+
+        def policy(p, obs, key):
+            env_action, _, log_prob, value = trainer._policy(p, obs, key)
+            return env_action, log_prob, value
+
+        policy_params = params
+    else:
+        policy = random_policy(env)
+        policy_params = None
+
+    run = rollout_jit(env, policy, args.episodes_steps)
+    state, obs = env.reset(jax.random.PRNGKey(args.seed))
+    t0 = time.perf_counter()
+    state, obs, traj = run(policy_params, state, obs, jax.random.PRNGKey(args.seed + 1))
+    jax.block_until_ready(traj.reward)
+    elapsed = time.perf_counter() - t0
+    stats = {k: float(np.asarray(v)) for k, v in summarize(traj).items()}
+    stats["elapsed_s"] = elapsed
+    stats["env_steps_per_s"] = traj.reward.size / elapsed
+    print(json.dumps(stats))
+    if args.output:
+        Path(args.output).write_text(json.dumps(stats, indent=2))
+    return 0
+
+
+def _cmd_benchmark(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .envs import SpinTorqueEnv, SpinTorqueEnvConfig
+    from .parallel import random_policy
+
+    B = args.batch_size or 4096
+    env = SpinTorqueEnv(
+        batch_size=B,
+        config=SpinTorqueEnvConfig(dtype="float32",
+                                   include_thermal=not args.no_thermal),
+    )
+    policy = random_policy(env)
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+
+    @jax.jit
+    def step_n(state, obs, key):
+        def body(carry, k):
+            state, obs = carry
+            state, ts = env._step_impl(state, policy(None, obs, k))
+            return (state, ts.obs), ts.reward.mean()
+        keys = jax.random.split(key, args.inner)
+        (state, obs), r = jax.lax.scan(body, (state, obs), keys)
+        return state, obs, r.mean()
+
+    state, obs, _ = step_n(state, obs, key)
+    jax.block_until_ready(obs)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        key, sub = jax.random.split(key)
+        state, obs, _ = step_n(state, obs, sub)
+    jax.block_until_ready(obs)
+    elapsed = time.perf_counter() - t0
+    steps = args.iters * args.inner * B
+    result = {
+        "batch_size": B,
+        "backend": jax.default_backend(),
+        "devices": jax.device_count(),
+        "env_steps_per_s": steps / elapsed,
+        "env_steps_per_s_per_chip": steps / elapsed / jax.local_device_count(),
+        "ms_per_batched_step": elapsed / (args.iters * args.inner) * 1e3,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_config(args) -> int:
+    from .config import ConfigManager
+
+    manager = ConfigManager(args.config)
+    if args.action == "show":
+        print(json.dumps(manager.config.to_dict(), indent=2, default=str))
+    elif args.action == "validate":
+        manager.validate()
+        print("configuration valid")
+    elif args.action == "save":
+        if not args.output:
+            print("--output required for save", file=sys.stderr)
+            return 1
+        manager.save(args.output)
+        print(f"saved to {args.output}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spintorque-tpu",
+        description="TPU-native spintronic RL environment engine",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("info", help="environment and backend info")
+    sp.set_defaults(func=cmd_info)
+
+    sp = sub.add_parser("train", help="train an RL agent")
+    sp.add_argument("--env", default="SpinTorque-v0")
+    sp.add_argument("--algorithm", default="ppo")
+    sp.add_argument("--backend", choices=["native", "sb3"], default="native")
+    sp.add_argument("--timesteps", type=int, default=None)
+    sp.add_argument("--batch-size", type=int, default=None)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--log-every", type=int, default=10)
+    sp.set_defaults(func=cmd_train)
+
+    sp = sub.add_parser("eval", help="evaluate a policy (or random)")
+    sp.add_argument("--model", default=None)
+    sp.add_argument("--episodes-steps", type=int, default=200,
+                    help="rollout horizon in env steps")
+    sp.add_argument("--batch-size", type=int, default=None)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_eval)
+
+    sp = sub.add_parser("benchmark", help="measure env throughput")
+    sp.add_argument("--batch-size", type=int, default=4096)
+    sp.add_argument("--iters", type=int, default=5)
+    sp.add_argument("--inner", type=int, default=16)
+    sp.add_argument("--no-thermal", action="store_true")
+    sp.set_defaults(func=_cmd_benchmark)
+
+    sp = sub.add_parser("config", help="show/validate/save configuration")
+    sp.add_argument("action", choices=["show", "validate", "save"])
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_config)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

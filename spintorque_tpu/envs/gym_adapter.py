@@ -325,3 +325,287 @@ class VectorSpinTorqueEnv(gym.Env):
 
     def close(self):
         pass
+
+
+class GymSpinTorqueArrayEnv(gym.Env):
+    """Single-environment Gymnasium adapter for the crossbar array env
+    (reference surface: array_env.py:20-755)."""
+
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 10}
+
+    def __init__(
+        self,
+        array_size=(4, 4),
+        device_type: str = "stt_mram",
+        device_params: Optional[Dict[str, Any]] = None,
+        target_pattern=None,
+        max_steps: int = 200,
+        max_current: float = 2e6,
+        max_duration: float = 5e-9,
+        temperature: float = 300.0,
+        include_thermal_fluctuations: bool = True,
+        include_coupling: bool = True,
+        coupling_strength: float = 0.1,
+        coupling_type: str = "dipolar",
+        reward_components: Optional[Dict[str, Dict]] = None,
+        action_mode: str = "individual",
+        observation_mode: str = "array",
+        success_threshold: float = 0.9,
+        energy_penalty_weight: float = 0.1,
+        render_mode: Optional[str] = None,
+        seed: Optional[int] = None,
+        dtype: str | None = None,
+        **extra,
+    ):
+        from .array import ArrayEnvConfig, SpinTorqueArrayEnv
+
+        super().__init__()
+        if dtype is None:
+            dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+        del include_thermal_fluctuations  # accepted, unused (as in reference)
+        cfg = ArrayEnvConfig(
+            rows=array_size[0], cols=array_size[1], device_type=device_type,
+            max_steps=max_steps, max_current=max_current,
+            max_duration=max_duration, temperature=temperature,
+            include_coupling=include_coupling,
+            coupling_strength=coupling_strength, coupling_type=coupling_type,
+            action_mode=action_mode, observation_mode=observation_mode,
+            success_threshold=success_threshold,
+            energy_penalty_weight=energy_penalty_weight,
+            autoreset=False, dtype=dtype,
+        )
+        self._env = SpinTorqueArrayEnv(
+            device_params=device_params, target_pattern=target_pattern,
+            batch_size=1, reward_components=reward_components, config=cfg,
+        )
+        self.render_mode = render_mode
+        self._setup_spaces()
+        self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._state = None
+        self.n_rows, self.n_cols = cfg.rows, cfg.cols
+        self.n_devices = cfg.n_devices
+
+    def _setup_spaces(self):
+        cfg = self._env.config
+        N, R, C = cfg.n_devices, cfg.rows, cfg.cols
+        if cfg.action_mode == "individual":
+            hi0 = N - 1
+        elif cfg.action_mode == "row":
+            hi0 = R - 1
+        elif cfg.action_mode == "column":
+            hi0 = C - 1
+        else:
+            hi0 = None
+        if hi0 is None:  # global
+            self.action_space = spaces.Box(
+                low=np.array([-cfg.max_current, 0.0], np.float32),
+                high=np.array([cfg.max_current, cfg.max_duration], np.float32),
+                dtype=np.float32,
+            )
+        else:
+            self.action_space = spaces.Box(
+                low=np.array([0, -cfg.max_current, 0.0], np.float32),
+                high=np.array([hi0, cfg.max_current, cfg.max_duration], np.float32),
+                dtype=np.float32,
+            )
+        if cfg.observation_mode == "array":
+            self.observation_space = spaces.Box(
+                low=-1, high=1, shape=(R, C, 6), dtype=np.float32
+            )
+        elif cfg.observation_mode == "vector":
+            self.observation_space = spaces.Box(
+                low=-np.inf, high=np.inf, shape=(N * 6 + 4,), dtype=np.float32
+            )
+        else:
+            self.observation_space = spaces.Dict(
+                {
+                    "current_pattern": spaces.Box(-1, 1, shape=(R, C, 3), dtype=np.float32),
+                    "target_pattern": spaces.Box(-1, 1, shape=(R, C, 3), dtype=np.float32),
+                    "pattern_similarity": spaces.Box(0, 1, shape=(1,), dtype=np.float32),
+                    "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=int),
+                    "total_energy": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
+                }
+            )
+
+    def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        options = options or {}
+        self._key, sub = jax.random.split(self._key)
+        state, obs = self._env.reset(sub)
+        cfg = self._env.config
+        if "initial_pattern" in options:
+            p = np.asarray(options["initial_pattern"], float).reshape(
+                cfg.n_devices, 3
+            )
+            state = state.replace(
+                pattern=jnp.asarray(p, cfg.jnp_dtype)[None]
+            )
+        if "target_pattern" in options:
+            t = np.asarray(options["target_pattern"], float).reshape(
+                cfg.n_devices, 3
+            )
+            state = state.replace(target=jnp.asarray(t, cfg.jnp_dtype)[None])
+        self._state = state
+        obs = self._env.observe(state)
+        return _to_numpy_obs(obs, squeeze=True), {"step_count": 0}
+
+    def step(self, action):
+        if self._state is None:
+            raise RuntimeError("Environment must be reset before calling step")
+        self._state, ts = self._env.step(self._state, np.asarray(action)[None, ...])
+        return (
+            _to_numpy_obs(ts.obs, squeeze=True),
+            float(np.asarray(ts.reward)[0]),
+            bool(np.asarray(ts.terminated)[0]),
+            bool(np.asarray(ts.truncated)[0]),
+            _scalar_info(ts.info, idx=0),
+        )
+
+    def set_target_pattern(self, pattern):
+        cfg = self._env.config
+        t = np.asarray(pattern, float).reshape(cfg.n_devices, 3)
+        if self._state is not None:
+            self._state = self._state.replace(
+                target=jnp.asarray(t, cfg.jnp_dtype)[None]
+            )
+
+    def close(self):
+        pass
+
+
+class GymSkyrmionRacetrackEnv(gym.Env):
+    """Single-environment Gymnasium adapter for the skyrmion racetrack env
+    (reference surface: skyrmion_env.py:20-870)."""
+
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 20}
+
+    def __init__(
+        self,
+        track_length: float = 1000e-9,
+        track_width: float = 200e-9,
+        track_thickness: float = 2e-9,
+        n_skyrmions: int = 1,
+        skyrmion_radius: float = 20e-9,
+        target_positions=None,
+        max_steps: int = 150,
+        max_current: float = 1e12,
+        max_gradient: float = 1e18,
+        temperature: float = 300.0,
+        include_thermal_fluctuations: bool = True,
+        include_pinning: bool = True,
+        pinning_strength: float = 0.1,
+        reward_components: Optional[Dict[str, Dict]] = None,
+        action_mode: str = "continuous",
+        observation_mode: str = "vector",
+        success_threshold: float = 10e-9,
+        energy_penalty_weight: float = 0.1,
+        render_mode: Optional[str] = None,
+        seed: Optional[int] = None,
+        dtype: str | None = None,
+        **extra,
+    ):
+        from .skyrmion import SkyrmionEnvConfig, SkyrmionRacetrackEnv
+
+        super().__init__()
+        if dtype is None:
+            dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+        cfg = SkyrmionEnvConfig(
+            track_length=track_length, track_width=track_width,
+            track_thickness=track_thickness, n_skyrmions=n_skyrmions,
+            skyrmion_radius=skyrmion_radius, max_steps=max_steps,
+            max_current=max_current, max_gradient=max_gradient,
+            temperature=temperature,
+            include_thermal=include_thermal_fluctuations,
+            include_pinning=include_pinning, pinning_strength=pinning_strength,
+            action_mode=action_mode, observation_mode=observation_mode,
+            success_threshold=success_threshold,
+            energy_penalty_weight=energy_penalty_weight,
+            autoreset=False, dtype=dtype,
+        )
+        self._env = SkyrmionRacetrackEnv(
+            target_positions=target_positions, batch_size=1,
+            reward_components=reward_components, config=cfg,
+            seed=0 if seed is None else seed,
+        )
+        self.render_mode = render_mode
+        self._setup_spaces()
+        self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._state = None
+        self.n_skyrmions = n_skyrmions
+        self.track_length = track_length
+
+    def _setup_spaces(self):
+        cfg = self._env.config
+        n = cfg.n_skyrmions
+        if cfg.action_mode == "continuous":
+            self.action_space = spaces.Box(
+                low=np.array(
+                    [-cfg.max_current, -cfg.max_current,
+                     -cfg.max_gradient, -cfg.max_gradient, 0.0], np.float32
+                ),
+                high=np.array(
+                    [cfg.max_current, cfg.max_current,
+                     cfg.max_gradient, cfg.max_gradient, 2e-9], np.float32
+                ),
+                dtype=np.float32,
+            )
+        else:
+            self.action_space = spaces.Discrete(self._env.num_actions)
+        if cfg.observation_mode == "vector":
+            obs_size = n * 4 + n * 2 + 4
+            self.observation_space = spaces.Box(
+                low=-np.inf, high=np.inf, shape=(obs_size,), dtype=np.float32
+            )
+        else:
+            self.observation_space = spaces.Dict(
+                {
+                    "positions": spaces.Box(0, cfg.track_length, shape=(n, 2), dtype=np.float32),
+                    "velocities": spaces.Box(-np.inf, np.inf, shape=(n, 2), dtype=np.float32),
+                    "target_positions": spaces.Box(0, cfg.track_length, shape=(n,), dtype=np.float32),
+                    "position_errors": spaces.Box(0, np.inf, shape=(n,), dtype=np.float32),
+                    "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=int),
+                    "total_energy": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
+                }
+            )
+
+    def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        options = options or {}
+        self._key, sub = jax.random.split(self._key)
+        state, obs = self._env.reset(sub)
+        cfg = self._env.config
+        if "initial_positions" in options:
+            p = np.asarray(options["initial_positions"], float)
+            state = state.replace(
+                positions=jnp.asarray(p, cfg.jnp_dtype)[None]
+            )
+        if "target_positions" in options:
+            self._env.target_x = jnp.asarray(
+                np.asarray(options["target_positions"], float), cfg.jnp_dtype
+            )
+        self._state = state
+        obs = self._env.observe(state)
+        return _to_numpy_obs(obs, squeeze=True), {"step_count": 0}
+
+    def step(self, action):
+        if self._state is None:
+            raise RuntimeError("Environment must be reset before calling step")
+        if np.isscalar(action) or (
+            isinstance(action, np.ndarray) and action.ndim == 0
+        ):
+            batched = np.asarray([action])
+        else:
+            batched = np.asarray(action)[None, ...]
+        self._state, ts = self._env.step(self._state, batched)
+        return (
+            _to_numpy_obs(ts.obs, squeeze=True),
+            float(np.asarray(ts.reward)[0]),
+            bool(np.asarray(ts.terminated)[0]),
+            bool(np.asarray(ts.truncated)[0]),
+            _scalar_info(ts.info, idx=0),
+        )
+
+    def close(self):
+        pass
