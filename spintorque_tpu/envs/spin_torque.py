@@ -62,6 +62,7 @@ class SpinTorqueEnvConfig(NamedTuple):
     noise_mode: str = "reference"
     autoreset: bool = True
     dtype: str = "float32"
+    use_pallas: bool = False  # 'auto'-resolved at env build; see __init__
 
     @property
     def jnp_dtype(self):
@@ -79,6 +80,7 @@ class SpinTorqueEnvConfig(NamedTuple):
             max_substeps=self.resolved_max_substeps(),
             thermal=self.include_thermal,
             noise_mode=self.noise_mode,
+            use_pallas=self.use_pallas,
         )
 
 
@@ -149,6 +151,18 @@ class SpinTorqueEnv:
             targets = np.stack([np.asarray(t, float) for t in target_states])
             targets = targets / np.linalg.norm(targets, axis=-1, keepdims=True)
         self.target_states = jnp.asarray(targets, dtype)  # (K, 3)
+
+        if config.use_pallas:
+            # Downgrade to the XLA path when the kernel's specializations do
+            # not cover this device configuration (checked here where the
+            # parameters are concrete; inside jit they are tracers).
+            from ..ops.pallas_integrator import pallas_supported
+
+            if not pallas_supported(
+                self.device_params.llgs(), config.integrator(), dtype
+            ):
+                config = config._replace(use_pallas=False)
+                self.config = config
 
         if reward_components is None:
             reward_components = default_reward_config(

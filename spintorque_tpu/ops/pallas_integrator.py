@@ -1,0 +1,307 @@
+"""Pallas TPU kernel for the LLGS pulse integrator hot loop.
+
+The XLA path (physics/integrator.py) runs one fused elementwise program per
+substep inside a lax.while_loop; at small state sizes the loop becomes
+latency-bound on per-iteration overhead. This kernel keeps the entire state
+resident in VMEM for ALL substeps: one pallas_call runs the full masked
+RK4/Euler loop with zero HBM traffic between substeps, plus native
+on-core PRNG (pltpu.prng_random_bits + Box-Muller) for the thermal field
+instead of host-keyed threefry.
+
+Specializations (enforced by ``pallas_supported``):
+  * easy axis = +z (all canned device types; the general-axis case falls
+    back to the XLA path)
+  * float32
+  * methods 'rk4' and 'euler', noise modes 'reference' and 'physical'
+
+Numerics match the XLA path op-for-op in the deterministic case (verified
+by tests/unit/test_pallas_integrator.py at near-bitwise tolerance).
+Layout: the (B,) env axis is reshaped to (B/128, 128) lanes; one grid
+program per ROWS_PER_TILE-row tile of envs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import GAMMA, KB_SOLVER, MU0
+from ..physics.integrator import IntegratorConfig, substep_counts
+from ..physics.llgs import LLGSParams
+
+LANES = 128
+ROWS_PER_TILE = 64  # 8192 envs per grid program
+
+_N_STAGES = {"euler": 1, "rk4": 4}
+
+
+def pallas_supported(params: LLGSParams, config: IntegratorConfig, dtype) -> bool:
+    """Whether the fast kernel covers this configuration."""
+    if config.method not in _N_STAGES:
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    e = np.asarray(params.easy_axis)
+    if e.ndim == 1:
+        ez_ok = abs(e[0]) < 1e-12 and abs(e[1]) < 1e-12 and e[2] > 0
+    else:
+        ez_ok = (
+            np.all(np.abs(e[..., 0]) < 1e-12)
+            and np.all(np.abs(e[..., 1]) < 1e-12)
+            and np.all(e[..., 2] > 0)
+        )
+    return bool(ez_ok)
+
+
+def _normal_from_bits(shape):
+    """Standard normals from the on-core PRNG via Box-Muller."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    # uint32 -> uniform (0, 1]; add 1 ulp to avoid log(0).
+    u1 = (b1.astype(jnp.float32) + 1.0) * (1.0 / 4294967296.0)
+    u2 = b2.astype(jnp.float32) * (1.0 / 4294967296.0)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * math.pi) * u2
+    return r * jnp.cos(theta)
+
+
+def _kernel(
+    # scalar prefetch
+    nmax_ref,  # (1,) int32 in SMEM
+    seed_ref,  # (1,) int32 in SMEM
+    # tensor inputs (VMEM blocks)
+    mx_ref, my_ref, mz_ref,
+    current_ref, dt_ref, n_ref, sigma_ref,
+    hk_ref, ms_ref, gamma_eff_ref, alpha_ref, stt_ref,
+    # outputs
+    ox_ref, oy_ref, oz_ref, failed_ref,
+    *,
+    method: str,
+    thermal: bool,
+):
+    nmax = nmax_ref[0]
+    if thermal:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    mx0, my0, mz0 = mx_ref[:], my_ref[:], mz_ref[:]
+    current = current_ref[:]
+    dt = dt_ref[:]
+    n = n_ref[:]
+    sigma = sigma_ref[:]
+    h_k = hk_ref[:]
+    ms = ms_ref[:]
+    gamma_eff = gamma_eff_ref[:]
+    alpha = alpha_ref[:]
+    stt_c = stt_ref[:]  # already gated on |J| > 1e-12
+
+    shape = mx0.shape
+
+    def rhs(mx, my, mz):
+        """dm/dt with easy axis = +z (see physics/llgs.py for the general
+        form; identical op order for bitwise agreement)."""
+        if thermal:
+            nx = sigma * _normal_from_bits(shape)
+            ny = sigma * _normal_from_bits(shape)
+            nz = sigma * _normal_from_bits(shape)
+        else:
+            nx = ny = nz = 0.0
+        anis = h_k * mz  # (m . z) scaled
+        hx = 0.0 + nx
+        hy = 0.0 + ny
+        hz = anis - ms * mz + nz
+        # torque direction: u = m x z = (my, -mx, 0); v = m x u (uz = 0).
+        ux = my
+        uy = -mx
+        vx = -(mz * uy)
+        vy = mz * ux
+        vz = mx * uy - my * ux
+        # precession p = m x h
+        px = my * hz - mz * hy
+        py = mz * hx - mx * hz
+        pz = mx * hy - my * hx
+        # damping d = m x p
+        dx = my * pz - mz * py
+        dy = mz * px - mx * pz
+        dz = mx * py - my * px
+        fx = -gamma_eff * (px + alpha * dx) + stt_c * vx
+        fy = -gamma_eff * (py + alpha * dy) + stt_c * vy
+        fz = -gamma_eff * (pz + alpha * dz) + stt_c * vz
+        return fx, fy, fz
+
+    def normalize(mx, my, mz):
+        norm = jnp.sqrt(mx * mx + my * my + mz * mz)
+        finite = jnp.isfinite(mx) & jnp.isfinite(my) & jnp.isfinite(mz)
+        ok = finite & (norm >= 1e-12)
+        safe = jnp.where(ok, norm, 1.0)
+        nx, ny, nz = mx / safe, my / safe, mz / safe
+        ok = ok & jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+        return (
+            jnp.where(ok, nx, 0.0),
+            jnp.where(ok, ny, 0.0),
+            jnp.where(ok, nz, 1.0),
+        )
+
+    def substep(mx, my, mz):
+        if method == "euler":
+            fx, fy, fz = rhs(mx, my, mz)
+            return mx + dt * fx, my + dt * fy, mz + dt * fz
+        k1x, k1y, k1z = rhs(mx, my, mz)
+        k1x, k1y, k1z = dt * k1x, dt * k1y, dt * k1z
+        k2x, k2y, k2z = rhs(mx + k1x / 2, my + k1y / 2, mz + k1z / 2)
+        k2x, k2y, k2z = dt * k2x, dt * k2y, dt * k2z
+        k3x, k3y, k3z = rhs(mx + k2x / 2, my + k2y / 2, mz + k2z / 2)
+        k3x, k3y, k3z = dt * k3x, dt * k3y, dt * k3z
+        k4x, k4y, k4z = rhs(mx + k3x, my + k3y, mz + k3z)
+        k4x, k4y, k4z = dt * k4x, dt * k4y, dt * k4z
+        return (
+            mx + (k1x + 2 * k2x + 2 * k3x + k4x) / 6,
+            my + (k1y + 2 * k2y + 2 * k3y + k4y) / 6,
+            mz + (k1z + 2 * k2z + 2 * k3z + k4z) / 6,
+        )
+
+    def body(i, carry):
+        mx, my, mz, failed = carry
+        nx, ny, nz = substep(mx, my, mz)
+        nx, ny, nz = normalize(nx, ny, nz)
+        active = i < n
+        zero_row = active & (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
+        return (
+            jnp.where(active, nx, mx),
+            jnp.where(active, ny, my),
+            jnp.where(active, nz, mz),
+            failed | zero_row,
+        )
+
+    failed0 = jnp.zeros(shape, jnp.bool_)
+    mx, my, mz, failed = jax.lax.fori_loop(0, nmax, body, (mx0, my0, mz0, failed0))
+    ox_ref[:] = mx
+    oy_ref[:] = my
+    oz_ref[:] = mz
+    failed_ref[:] = failed.astype(jnp.int32)
+
+
+def _pad_rows(x, rows):
+    r = x.shape[0]
+    if r == rows:
+        return x
+    return jnp.pad(x, ((0, rows - r), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def integrate_pulse_pallas(
+    m0: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    span: jnp.ndarray,
+    current: jnp.ndarray,
+    params: LLGSParams,
+    config: IntegratorConfig,
+    key: Optional[jax.Array] = None,
+    temperature: jnp.ndarray | float = 300.0,
+):
+    """Drop-in fast path for physics.integrator.integrate_pulse.
+
+    Returns (mx, my, mz), n_substeps, dt, failed - same semantics as
+    PulseResult fields. Requires pallas_supported(...) conditions.
+    """
+    mx0, my0, mz0 = m0
+    B = mx0.shape[0]
+    dtype = jnp.float32
+    span = jnp.asarray(span, dtype)
+    current = jnp.asarray(current, dtype)
+
+    dt, n = substep_counts(span, config.max_step)
+    n = jnp.minimum(n, config.max_substeps)
+    n_max = jnp.max(n).astype(jnp.int32)
+
+    # Broadcast per-env physics coefficients.
+    ms = jnp.broadcast_to(jnp.asarray(params.saturation_magnetization, dtype), (B,))
+    alpha = jnp.broadcast_to(jnp.asarray(params.damping, dtype), (B,))
+    k_u = jnp.broadcast_to(jnp.asarray(params.uniaxial_anisotropy, dtype), (B,))
+    vol = jnp.broadcast_to(jnp.asarray(params.volume, dtype), (B,))
+    pol = jnp.broadcast_to(jnp.asarray(params.polarization, dtype), (B,))
+    h_k = (2.0 * k_u) / (MU0 * ms)
+    gamma_eff = GAMMA / (1.0 + alpha**2)
+    stt = pol * current / (ms * vol)
+    stt = jnp.where(jnp.abs(current) > 1e-12, stt, 0.0)
+
+    if config.thermal:
+        temperature = jnp.broadcast_to(jnp.asarray(temperature, dtype), (B,))
+        denom = MU0 * ms * vol * GAMMA
+        if config.noise_mode == "physical":
+            sigma = jnp.sqrt(2.0 * alpha * KB_SOLVER * temperature / (denom * dt))
+        else:
+            sigma = jnp.sqrt(2.0 * alpha * KB_SOLVER * temperature / denom)
+        sigma = jnp.where(temperature > 0.0, sigma, 0.0)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32) if key is not None else jnp.int32(0)
+    else:
+        sigma = jnp.zeros((B,), dtype)
+        seed = jnp.int32(0)
+
+    # Reshape (B,) -> (rows, 128), padded to a multiple of the tile rows.
+    rows = -(-B // LANES)
+    tiles = -(-rows // ROWS_PER_TILE)
+    rows_padded = tiles * ROWS_PER_TILE
+
+    def to2d(x, fill=0.0):
+        flat = jnp.pad(x, (0, rows * LANES - B), constant_values=fill)
+        return _pad_rows(flat.reshape(rows, LANES), rows_padded)
+
+    args = [
+        to2d(jnp.asarray(mx0, dtype)),
+        to2d(jnp.asarray(my0, dtype)),
+        to2d(jnp.asarray(mz0, dtype), fill=1.0),
+        to2d(current),
+        to2d(dt, fill=1.0),
+        _pad_rows(
+            jnp.pad(n, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
+        ),
+        to2d(sigma),
+        to2d(h_k),
+        to2d(ms, fill=1.0),
+        to2d(gamma_eff),
+        to2d(alpha),
+        to2d(stt),
+    ]
+
+    block = (ROWS_PER_TILE, LANES)
+    # index_map receives (grid_idx, *scalar_prefetch_refs).
+    tensor_spec = pl.BlockSpec(
+        block, lambda i, *prefetch: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[tensor_spec] * len(args),
+        out_specs=[tensor_spec] * 4,
+    )
+    kernel = functools.partial(_kernel, method=config.method, thermal=config.thermal)
+    ox, oy, oz, failed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_padded, LANES), dtype),
+            jax.ShapeDtypeStruct((rows_padded, LANES), dtype),
+            jax.ShapeDtypeStruct((rows_padded, LANES), dtype),
+            jax.ShapeDtypeStruct((rows_padded, LANES), jnp.int32),
+        ],
+    )(
+        jnp.asarray([n_max], jnp.int32),
+        jnp.asarray([seed], jnp.int32),
+        *args,
+    )
+
+    def back(x):
+        return x.reshape(-1)[:B]
+
+    return (
+        (back(ox), back(oy), back(oz)),
+        n,
+        dt,
+        back(failed).astype(bool),
+    )

@@ -20,6 +20,7 @@ from .llgs import (
     normalize_with_fallback,
     thermal_field_strength,
 )
+from .energy_landscape import EnergyLandscape
 from .materials import MaterialDatabase, MaterialProperties
 from .solver import (
     LLGSSolver,
@@ -29,6 +30,15 @@ from .solver import (
     params_from_dict,
 )
 from .thermal import ThermalFluctuations
+from .vector_ops import (
+    batch_anisotropy_field,
+    batch_cross,
+    batch_demag_field_thin_film,
+    batch_dot,
+    batch_magnetic_energy,
+    batch_normalize,
+    batch_tmr_resistance,
+)
 
 __all__ = [
     "IntegratorConfig",
@@ -51,4 +61,12 @@ __all__ = [
     "ScalableLLGSSolver",
     "params_from_dict",
     "ThermalFluctuations",
+    "EnergyLandscape",
+    "batch_cross",
+    "batch_dot",
+    "batch_normalize",
+    "batch_magnetic_energy",
+    "batch_tmr_resistance",
+    "batch_anisotropy_field",
+    "batch_demag_field_thin_film",
 ]

@@ -52,6 +52,7 @@ class IntegratorConfig(NamedTuple):
     max_substeps: int = 5120  # static upper bound on the masked loop
     thermal: bool = False
     noise_mode: str = "reference"  # 'reference' | 'physical'
+    use_pallas: bool = False  # fast VMEM-resident kernel (ops/pallas_integrator)
 
 
 def max_substeps_for(max_duration: float, max_step: float = 1e-12) -> int:
@@ -62,9 +63,21 @@ def max_substeps_for(max_duration: float, max_step: float = 1e-12) -> int:
 
 def substep_counts(span: jnp.ndarray, max_step: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-env (dt, n_substeps) from the reference step-size law
-    (simple_solver.py:136-139; int() truncates toward zero = floor here)."""
+    (simple_solver.py:136-139; int() truncates toward zero = floor here).
+
+    The optimization barrier is load-bearing: XLA's algebraic simplifier
+    otherwise rewrites span/(span/100) to exactly 100, while strict IEEE
+    evaluation (and the reference's NumPy) can give 99.999..; n would then
+    differ between compiled programs and from the reference. The barrier
+    forces strict evaluation in every program, keeping n bit-stable.
+    """
     dtype = jnp.result_type(span)
-    dt0 = jnp.minimum(jnp.asarray(max_step, dtype), span / 100.0)
+    # Barrier the constant so XLA cannot rewrite span/100 into span*0.01
+    # (0.01 is inexact in binary; the 1-ulp difference flips n at integer
+    # boundaries of the quotient).
+    hundred = lax.optimization_barrier(jnp.asarray(100.0, dtype))
+    dt0 = jnp.minimum(jnp.asarray(max_step, dtype), span / hundred)
+    dt0 = lax.optimization_barrier(dt0)
     n = jnp.maximum(10, jnp.floor(span / dt0).astype(jnp.int32))
     dt = span / n.astype(dtype)
     return dt, n
@@ -187,6 +200,19 @@ def integrate_pulse(
     """
     mx0, my0, mz0 = m0
     dtype = jnp.result_type(mx0)
+
+    if config.use_pallas:
+        # Fast path: whole masked loop in one VMEM-resident Pallas kernel.
+        # Callers are responsible for checking ops.pallas_supported at build
+        # time (the env and solver facades do).
+        from ..ops.pallas_integrator import integrate_pulse_pallas
+
+        m, n, dt, failed = integrate_pulse_pallas(
+            m0, span, current, params, config._replace(use_pallas=False),
+            key=key, temperature=temperature,
+        )
+        return PulseResult(m=m, n_substeps=n, dt=dt, failed=failed)
+
     span = jnp.asarray(span, dtype)
     current = jnp.asarray(current, dtype)
 
