@@ -1,0 +1,42 @@
+"""Research tooling: parameter optimization, benchmarking, validation.
+
+Honest TPU counterpart of the reference's research/quantum add-on tier
+(SURVEY.md section 2.8). The reference ships ~10k LoC of classical NumPy
+simulations under quantum branding with unreproducible performance claims;
+this module provides the same *capabilities* - device-parameter
+optimization, protocol search, benchmark suites, statistical validation,
+policy comparison - as classical population methods whose populations
+evaluate in single vmapped physics calls on TPU.
+"""
+
+from .benchmarking import (
+    BenchmarkResult,
+    BenchmarkSuite,
+    bootstrap_ci,
+    compare_policies,
+    create_standard_benchmark_suite,
+    significance_test,
+)
+from .optimizers import (
+    OptimizationResult,
+    cross_entropy,
+    grid_search,
+    optimize_switching_pulse,
+    simulated_annealing,
+    switching_objective,
+)
+
+__all__ = [
+    "BenchmarkResult",
+    "BenchmarkSuite",
+    "bootstrap_ci",
+    "compare_policies",
+    "create_standard_benchmark_suite",
+    "significance_test",
+    "OptimizationResult",
+    "cross_entropy",
+    "grid_search",
+    "optimize_switching_pulse",
+    "simulated_annealing",
+    "switching_objective",
+]

@@ -1,0 +1,9 @@
+"""Visualization: publication-style plots over engine outputs.
+
+Counterpart of spin_torque_gym/visualization/research_plots.py. Matplotlib
+is imported lazily; nothing here touches the TPU hot path.
+"""
+
+from .plots import SpintronicVisualizer, plot_energy_surface, plot_trajectory
+
+__all__ = ["SpintronicVisualizer", "plot_energy_surface", "plot_trajectory"]
