@@ -20,6 +20,7 @@ from .skyrmion import (
 from .spin_torque import EnvState, SpinTorqueEnv, SpinTorqueEnvConfig, TimeStep
 
 try:
+    from .wrappers import EpisodeStatisticsWrapper, RobustEnvironmentWrapper
     from .gym_adapter import (
         GymSkyrmionRacetrackEnv,
         GymSpinTorqueArrayEnv,
@@ -31,6 +32,8 @@ except ImportError:  # gymnasium unavailable
     GymSpinTorqueArrayEnv = None
     GymSkyrmionRacetrackEnv = None
     VectorSpinTorqueEnv = None
+    RobustEnvironmentWrapper = None
+    EpisodeStatisticsWrapper = None
 
 __all__ = [
     "EnvState",
@@ -51,4 +54,6 @@ __all__ = [
     "GymSpinTorqueArrayEnv",
     "GymSkyrmionRacetrackEnv",
     "VectorSpinTorqueEnv",
+    "RobustEnvironmentWrapper",
+    "EpisodeStatisticsWrapper",
 ]

@@ -167,6 +167,8 @@ def _kernel(
         )
 
     def body(i, carry):
+        # ``failed`` is carried as int32: Mosaic cannot legalize i1 vectors
+        # as scf.for loop carries.
         mx, my, mz, failed = carry
         nx, ny, nz = substep(mx, my, mz)
         nx, ny, nz = normalize(nx, ny, nz)
@@ -176,15 +178,15 @@ def _kernel(
             jnp.where(active, nx, mx),
             jnp.where(active, ny, my),
             jnp.where(active, nz, mz),
-            failed | zero_row,
+            jnp.maximum(failed, zero_row.astype(jnp.int32)),
         )
 
-    failed0 = jnp.zeros(shape, jnp.bool_)
+    failed0 = jnp.zeros(shape, jnp.int32)
     mx, my, mz, failed = jax.lax.fori_loop(0, nmax, body, (mx0, my0, mz0, failed0))
     ox_ref[:] = mx
     oy_ref[:] = my
     oz_ref[:] = mz
-    failed_ref[:] = failed.astype(jnp.int32)
+    failed_ref[:] = failed
 
 
 def _pad_rows(x, rows):

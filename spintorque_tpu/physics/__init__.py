@@ -20,6 +20,14 @@ from .llgs import (
     normalize_with_fallback,
     thermal_field_strength,
 )
+from .adaptive import (
+    AdaptiveResult,
+    llgs_solver_rhs,
+    find_stable_states,
+    integrate_adaptive,
+    trajectory_energy,
+    trajectory_torques,
+)
 from .energy_landscape import EnergyLandscape
 from .materials import MaterialDatabase, MaterialProperties
 from .solver import (
@@ -62,6 +70,12 @@ __all__ = [
     "params_from_dict",
     "ThermalFluctuations",
     "EnergyLandscape",
+    "AdaptiveResult",
+    "llgs_solver_rhs",
+    "integrate_adaptive",
+    "find_stable_states",
+    "trajectory_energy",
+    "trajectory_torques",
     "batch_cross",
     "batch_dot",
     "batch_normalize",

@@ -1,0 +1,232 @@
+"""Adaptive-step LLGS integration (embedded Dormand-Prince RK45).
+
+TPU counterpart of the reference's SciPy-backed adaptive solver
+(spin_torque_gym/physics/llgs_solver.py:21-305, scipy.integrate.solve_ivp
+RK45). SciPy's stepper is host-side and per-device; here the embedded
+RK5(4) pair with a PI step-size controller runs inside a single jitted
+``lax.while_loop`` for a whole batch in lockstep: every env carries its own
+(t, dt) and integrates until its own t_end, masked once finished. This is
+the "tolerance-controlled" path for analysis work; the RL hot loop uses the
+fixed-step reference-parity integrator (integrator.py).
+
+Also provides the reference's post-hoc diagnostics: energy and torque along
+a trajectory (llgs_solver.py:155-172, 239-262) and relaxation-based stable
+state search (:264-305).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import GAMMA, MU0
+from .llgs import LLGSParams, dmdt, energy_density, normalize_with_fallback
+
+
+def llgs_solver_rhs(mx, my, mz, current, params: LLGSParams,
+                    demag_factors=(0.0, 0.0, 1.0), exchange_constant=20e-12,
+                    h_applied=(0.0, 0.0, 0.0)):
+    """The reference *adaptive* solver's RHS (llgs_solver.py:92-237), which
+    differs from the simple solver's: explicit Gilbert damping
+    dm += alpha m x dm (no 1/(1+alpha^2) prefactor), general demag factors,
+    a placeholder exchange field parallel to m (torque-free), and
+    Slonczewski beta = P gamma / (2 Ms V) with a 0.1 beta field-like term.
+    """
+    ms = params.saturation_magnetization
+    k_u = params.uniaxial_anisotropy
+    alpha = params.damping
+    e = jnp.asarray(params.easy_axis)
+    ex, ey, ez = e[..., 0], e[..., 1], e[..., 2]
+    norm = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    ex, ey, ez = ex / norm, ey / norm, ez / norm
+
+    h_k = (2.0 * k_u) / (MU0 * ms)
+    m_dot_e = mx * ex + my * ey + mz * ez
+    nx_, ny_, nz_ = demag_factors
+    ex_coeff = (2.0 * exchange_constant / (MU0 * ms)) * 0.1  # placeholder (:204-209)
+    hx = h_applied[0] + h_k * m_dot_e * ex - ms * nx_ * mx + ex_coeff * mx
+    hy = h_applied[1] + h_k * m_dot_e * ey - ms * ny_ * my + ex_coeff * my
+    hz = h_applied[2] + h_k * m_dot_e * ez - ms * nz_ * mz + ex_coeff * mz
+
+    # precession + explicit Gilbert damping (llgs_solver.py:116-121)
+    px = my * hz - mz * hy
+    py = mz * hx - mx * hz
+    pz = mx * hy - my * hx
+    gx, gy, gz = -GAMMA * px, -GAMMA * py, -GAMMA * pz
+    dx = gx + alpha * (my * gz - mz * gy)
+    dy = gy + alpha * (mz * gx - mx * gz)
+    dz = gz + alpha * (mx * gy - my * gx)
+
+    # Slonczewski torque, p = z (llgs_solver.py:213-237)
+    beta = params.polarization * GAMMA / (2.0 * ms * params.volume)
+    coeff = jnp.where(jnp.abs(current) > 1e-12, beta * current, 0.0)
+    ux, uy = my, -mx  # m x z
+    tx = coeff * (-(mz * uy)) + 0.1 * coeff * ux
+    ty = coeff * (mz * ux) + 0.1 * coeff * uy
+    tz = coeff * (mx * uy - my * ux)
+    return dx + tx, dy + ty, dz + tz
+
+# Dormand-Prince RK5(4) tableau.
+_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+
+
+class AdaptiveResult(NamedTuple):
+    m: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    n_steps: jnp.ndarray  # (B,) accepted steps
+    n_rejected: jnp.ndarray  # (B,)
+    success: jnp.ndarray  # (B,) reached t_end within max_steps
+
+
+def integrate_adaptive(
+    m0: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    span: jnp.ndarray,
+    current: jnp.ndarray,
+    params: LLGSParams,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    max_steps: int = 100_000,
+    dt_init: float = 1e-13,
+    dt_min: float = 1e-16,
+    dt_max: float = 1e-11,
+) -> AdaptiveResult:
+    """Batched adaptive RK45 over one square pulse (deterministic)."""
+    mx0, my0, mz0 = m0
+    dtype = jnp.result_type(mx0)
+    span = jnp.asarray(span, dtype)
+    current = jnp.asarray(current, dtype)
+    B = jnp.shape(mx0)
+
+    def f(mx, my, mz):
+        # Stage states are renormalized like the reference RHS does on every
+        # evaluation (llgs_solver.py:95-100) - essential for stability.
+        n = jnp.sqrt(mx * mx + my * my + mz * mz)
+        ok = n > 1e-12
+        safe = jnp.where(ok, n, 1.0)
+        mx = jnp.where(ok, mx / safe, 0.0)
+        my = jnp.where(ok, my / safe, 0.0)
+        mz = jnp.where(ok, mz / safe, 1.0)
+        return llgs_solver_rhs(mx, my, mz, current, params)
+
+    def cond(carry):
+        i, t, dt, m, nacc, nrej = carry
+        return (i < max_steps) & jnp.any(t < span)
+
+    def body(carry):
+        i, t, dt, (mx, my, mz), nacc, nrej = carry
+        active = t < span
+        dt_eff = jnp.minimum(dt, span - t)
+        dt_eff = jnp.where(active, dt_eff, 0.0)
+
+        ks = []
+        for s in range(7):
+            ax = mx
+            ay = my
+            az = mz
+            for j, a in enumerate(_A[s]):
+                ax = ax + dt_eff * a * ks[j][0]
+                ay = ay + dt_eff * a * ks[j][1]
+                az = az + dt_eff * a * ks[j][2]
+            ks.append(f(ax, ay, az))
+
+        def comb(coeffs, c):
+            out = jnp.zeros_like(mx)
+            for j, b in enumerate(coeffs):
+                if b != 0.0:
+                    out = out + b * ks[j][c]
+            return out
+
+        m5 = tuple(
+            (mx, my, mz)[c] + dt_eff * comb(_B5, c) for c in range(3)
+        )
+        m4 = tuple(
+            (mx, my, mz)[c] + dt_eff * comb(_B4, c) for c in range(3)
+        )
+        err = jnp.sqrt(
+            sum((m5[c] - m4[c]) ** 2 for c in range(3)) / 3.0
+        )
+        scale = atol + rtol * jnp.sqrt(sum(m5[c] ** 2 for c in range(3)))
+        ratio = err / jnp.maximum(scale, 1e-300 if dtype == jnp.float64 else 1e-30)
+
+        accept = (ratio <= 1.0) | (dt <= dt_min)
+        # PI controller (order 5): dt *= 0.9 ratio^(-1/5), clipped [0.2, 5].
+        factor = jnp.clip(
+            0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2), 0.2, 5.0
+        )
+        new_dt = jnp.clip(dt * factor, dt_min, dt_max)
+
+        do = active & accept
+        nx, ny, nz = normalize_with_fallback(*m5, dtype)
+        mx = jnp.where(do, nx, mx)
+        my = jnp.where(do, ny, my)
+        mz = jnp.where(do, nz, mz)
+        t = jnp.where(do, t + dt_eff, t)
+        nacc = nacc + do.astype(jnp.int32)
+        nrej = nrej + (active & ~accept).astype(jnp.int32)
+        dt = jnp.where(active, new_dt, dt)
+        return i + 1, t, dt, (mx, my, mz), nacc, nrej
+
+    t0 = jnp.zeros(B, dtype)
+    dt0 = jnp.full(B, dt_init, dtype)
+    zeros_i = jnp.zeros(B, jnp.int32)
+    _, t, _, m, nacc, nrej = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), t0, dt0, (mx0, my0, mz0), zeros_i, zeros_i)
+    )
+    return AdaptiveResult(m=m, n_steps=nacc, n_rejected=nrej, success=t >= span)
+
+
+def trajectory_energy(m_traj, params: LLGSParams, h_applied=(0.0, 0.0, 0.0)):
+    """Energy along a trajectory (..., 3) (llgs_solver.py:155-162, 239-262)."""
+    m = jnp.asarray(m_traj)
+    return energy_density(m[..., 0], m[..., 1], m[..., 2], params, h_applied) * params.volume
+
+
+def trajectory_torques(m_traj, current, params: LLGSParams):
+    """|dm/dt| along a trajectory (llgs_solver.py:163-172)."""
+    m = jnp.asarray(m_traj)
+    fx, fy, fz = dmdt(m[..., 0], m[..., 1], m[..., 2], current, params)
+    return jnp.sqrt(fx * fx + fy * fy + fz * fz)
+
+
+def find_stable_states(
+    params: LLGSParams,
+    n_seeds: int = 64,
+    relax_time: float = 5e-9,
+    seed: int = 0,
+    tol: float = 1e-3,
+):
+    """Relaxation-based stable state search (llgs_solver.py:264-305):
+    integrate many random seeds with zero current to equilibrium, cluster
+    the endpoints. All seeds relax in ONE batched adaptive solve."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    m = jax.random.normal(key, (n_seeds, 3), jnp.float32)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    res = integrate_adaptive(
+        (m[:, 0], m[:, 1], m[:, 2]),
+        jnp.full((n_seeds,), relax_time, jnp.float32),
+        jnp.zeros((n_seeds,), jnp.float32),
+        params,
+        rtol=1e-5,
+        atol=1e-8,
+    )
+    finals = np.stack([np.asarray(c) for c in res.m], axis=-1)
+    states: list = []
+    for v in finals:
+        if not any(np.dot(v, s) > 1.0 - tol for s in states):
+            states.append(v)
+    return np.asarray(states)

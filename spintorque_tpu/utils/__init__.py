@@ -46,6 +46,13 @@ from .monitoring import (
     default_health_monitor,
 )
 from .profiling import PerformanceProfiler, block_and_time, device_trace
+from .security import (
+    InputSanitizer,
+    RateLimiter,
+    SecureHasher,
+    SecurityAuditor,
+    SecurityError,
+)
 from .validation import (
     ActionValidator,
     NumericalValidator,
@@ -89,6 +96,11 @@ __all__ = [
     "PerformanceProfiler",
     "block_and_time",
     "device_trace",
+    "InputSanitizer",
+    "RateLimiter",
+    "SecureHasher",
+    "SecurityAuditor",
+    "SecurityError",
     "ActionValidator",
     "NumericalValidator",
     "PhysicsValidator",
