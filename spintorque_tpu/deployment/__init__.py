@@ -1,0 +1,24 @@
+"""Deployment tooling: multi-host launch, serving health, audit records.
+
+Counterpart of the reference deployment tier
+(spin_torque_gym/deployment/global_deployment.py - whose sibling modules
+are import-broken, deployment/__init__.py:7-10). Rebuilt as practical TPU
+deployment helpers: pod-slice launch manifests, serving health endpoints,
+and compliance/audit record keeping.
+"""
+
+from .manager import (
+    AuditRecord,
+    ComplianceLog,
+    DeploymentManager,
+    DeploymentSpec,
+    serving_health,
+)
+
+__all__ = [
+    "AuditRecord",
+    "ComplianceLog",
+    "DeploymentManager",
+    "DeploymentSpec",
+    "serving_health",
+]

@@ -12,6 +12,15 @@ from .params import (
     make_device_params,
     validate_device_dict,
 )
+from .skyrmion_ops import (
+    exchange_length,
+    magnus_coefficient,
+    skyrmion_energy,
+    skyrmion_hall_angle,
+    skyrmion_resistance,
+    skyrmion_stability,
+    skyrmion_velocity,
+)
 from .resistance import (
     energy_barrier,
     pulse_energy,
@@ -45,4 +54,11 @@ __all__ = [
     "vcma_effective_anisotropy",
     "vcma_pulse_energy",
     "vcma_switching_probability",
+    "exchange_length",
+    "magnus_coefficient",
+    "skyrmion_energy",
+    "skyrmion_hall_angle",
+    "skyrmion_resistance",
+    "skyrmion_stability",
+    "skyrmion_velocity",
 ]

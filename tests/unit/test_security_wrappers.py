@@ -57,14 +57,14 @@ def test_secure_hasher_roundtrip():
 
 
 def test_robust_wrapper_fallback():
-    import gymnasium as gym
+    # Construct our adapter directly: parity tests re-register the reference
+    # package's env ids over ours within the same pytest process, so
+    # gym.make would return the reference env here.
+    from spintorque_tpu.envs import GymSpinTorqueEnv, RobustEnvironmentWrapper
 
-    import spintorque_tpu  # noqa: F401
-    from spintorque_tpu.envs import RobustEnvironmentWrapper
-
-    env = gym.make("SpinTorque-v0", include_thermal_fluctuations=False,
-                   max_duration=1e-10)
-    wrapped = RobustEnvironmentWrapper(env.unwrapped)
+    env = GymSpinTorqueEnv(include_thermal_fluctuations=False,
+                           max_duration=1e-10)
+    wrapped = RobustEnvironmentWrapper(env)
     obs, info = wrapped.reset(seed=0)
     assert np.isfinite(obs).all()
     obs, r, te, tr, info = wrapped.step(np.array([1e5, 1e-10], np.float32))
@@ -76,14 +76,11 @@ def test_robust_wrapper_fallback():
 
 
 def test_episode_statistics_wrapper():
-    import gymnasium as gym
-
-    import spintorque_tpu  # noqa: F401
-    from spintorque_tpu.envs import EpisodeStatisticsWrapper
+    from spintorque_tpu.envs import EpisodeStatisticsWrapper, GymSpinTorqueEnv
 
     env = EpisodeStatisticsWrapper(
-        gym.make("SpinTorque-v0", include_thermal_fluctuations=False,
-                 max_steps=3, max_duration=1e-10).unwrapped
+        GymSpinTorqueEnv(include_thermal_fluctuations=False,
+                         max_steps=3, max_duration=1e-10)
     )
     env.reset(seed=0)
     done = False
