@@ -62,7 +62,9 @@ class SpinTorqueEnvConfig(NamedTuple):
     noise_mode: str = "reference"
     autoreset: bool = True
     dtype: str = "float32"
-    use_pallas: bool = False  # 'auto'-resolved at env build; see __init__
+    # None = auto: enabled on TPU backends when the kernel's specializations
+    # cover the device configuration (resolved at env build).
+    use_pallas: bool | None = None
 
     @property
     def jnp_dtype(self):
@@ -152,17 +154,25 @@ class SpinTorqueEnv:
             targets = targets / np.linalg.norm(targets, axis=-1, keepdims=True)
         self.target_states = jnp.asarray(targets, dtype)  # (K, 3)
 
-        if config.use_pallas:
-            # Downgrade to the XLA path when the kernel's specializations do
-            # not cover this device configuration (checked here where the
-            # parameters are concrete; inside jit they are tracers).
+        if config.use_pallas is None or config.use_pallas:
+            # Resolve the fast-kernel flag here, where parameters are
+            # concrete (inside jit they are tracers). Auto mode (None)
+            # enables it on TPU backends only; the thermal noise stream then
+            # comes from the on-core PRNG instead of threefry (different
+            # realization, same statistics - no parity contract in thermal
+            # mode).
             from ..ops.pallas_integrator import pallas_supported
 
-            if not pallas_supported(
-                self.device_params.llgs(), config.integrator(), dtype
-            ):
-                config = config._replace(use_pallas=False)
-                self.config = config
+            want = config.use_pallas
+            supported = pallas_supported(
+                self.device_params.llgs(),
+                config.integrator()._replace(use_pallas=False),
+                dtype,
+            )
+            if want is None:
+                want = supported and jax.default_backend() == "tpu"
+            config = config._replace(use_pallas=bool(want and supported))
+            self.config = config
 
         if reward_components is None:
             reward_components = default_reward_config(
