@@ -64,6 +64,11 @@ class PPOTrainer:
         self.env = env
         self.config = config
         self.mesh = mesh
+        if env.config.observation_mode != "vector":
+            raise ValueError(
+                "PPOTrainer requires observation_mode='vector' (dict "
+                "observations need a custom network; see rl/networks.py)"
+            )
         self.discrete = env.config.action_mode == "discrete"
         self.network = ActorCritic(
             action_dim=env.num_actions if self.discrete else 2,
