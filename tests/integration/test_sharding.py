@@ -1,0 +1,130 @@
+"""Multi-device sharding tests on the fake 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+from spintorque_tpu.parallel import (
+    make_mesh,
+    local_batch_size,
+    random_policy,
+    rollout_jit,
+    shard_batch,
+    shard_env_state,
+    summarize,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (fake) devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=3, n_model=2)
+    assert local_batch_size(64, mesh) == 8
+    with pytest.raises(ValueError):
+        local_batch_size(63, mesh)
+
+
+def test_sharded_env_step_zero_collectives():
+    """Env batch sharded over 8 devices: step must run and keep the batch
+    axis sharded (no implicit gather)."""
+    mesh = make_mesh()
+    env = SpinTorqueEnv(
+        batch_size=64,
+        config=SpinTorqueEnvConfig(include_thermal=False, max_duration=1e-10,
+                                   dtype="float32"),
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = shard_env_state(state, mesh)
+    actions = shard_batch(
+        jnp.tile(jnp.asarray([[1e5, 1e-10]], jnp.float32), (64, 1)), mesh
+    )
+    state, ts = env.step(state, actions)
+    # The magnetization output keeps the data sharding.
+    shard_info = state.m.sharding
+    assert len(shard_info.device_set) == 8
+    assert np.isfinite(np.asarray(ts.obs)).all()
+
+    # HLO of the step program contains no DATA collectives. The only
+    # permitted collective is the scalar all-reduce computing max(n) for
+    # the shared while-loop bound (8 bytes per step).
+    lowered = jax.jit(env._step_impl).lower(state, actions)
+    hlo = lowered.compile().as_text()
+    for coll in ("all-gather", "collective-permute", "reduce-scatter",
+                 "all-to-all"):
+        assert coll not in hlo, f"unexpected collective {coll} in env step"
+    for line in hlo.splitlines():
+        if "all-reduce(" in line:
+            # result shape appears as e.g. "s32[] all-reduce(...)"
+            shape = line.split("all-reduce(")[0].strip().split()[-1]
+            assert shape.endswith("[]"), (
+                f"non-scalar all-reduce in env step: {line.strip()[:120]}"
+            )
+
+
+def test_sharded_rollout_metrics():
+    mesh = make_mesh()
+    env = SpinTorqueEnv(
+        batch_size=32,
+        config=SpinTorqueEnvConfig(include_thermal=False, max_duration=1e-10,
+                                   dtype="float32"),
+    )
+    run = rollout_jit(env, random_policy(env), num_steps=6)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = shard_env_state(state, mesh)
+    obs = shard_batch(obs, mesh)
+    state, obs, traj = run(None, state, obs, jax.random.PRNGKey(1))
+    stats = summarize(traj)
+    assert int(stats["steps"]) == 6 * 32
+    assert np.isfinite(float(stats["mean_reward"]))
+
+
+def test_sharded_vs_single_device_identical():
+    """Sharding must not change numerics: same seed, same results."""
+    cfg = SpinTorqueEnvConfig(include_thermal=False, max_duration=1e-10,
+                              dtype="float32")
+    env = SpinTorqueEnv(batch_size=16, config=cfg)
+    actions = jnp.tile(jnp.asarray([[5e5, 1e-10]], jnp.float32), (16, 1))
+
+    s1, o1 = env.reset(jax.random.PRNGKey(3))
+    s1, t1 = env.step(s1, actions)
+
+    mesh = make_mesh()
+    s2, o2 = env.reset(jax.random.PRNGKey(3))
+    s2 = shard_env_state(s2, mesh)
+    s2, t2 = env.step(s2, shard_batch(actions, mesh))
+
+    np.testing.assert_array_equal(np.asarray(t1.obs), np.asarray(t2.obs))
+    np.testing.assert_array_equal(np.asarray(t1.reward), np.asarray(t2.reward))
+
+
+def test_tp_sharded_ppo_gradients_flow():
+    from spintorque_tpu.rl import PPOConfig, PPOTrainer
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    env = SpinTorqueEnv(
+        batch_size=16,
+        config=SpinTorqueEnvConfig(include_thermal=False, max_duration=1e-10,
+                                   dtype="float32"),
+    )
+    trainer = PPOTrainer(
+        env, PPOConfig(rollout_steps=4, num_epochs=1, num_minibatches=2,
+                       hidden_sizes=(64, 64)), mesh=mesh,
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    # First hidden kernel must actually live sharded over 'model'.
+    k0 = ts.params["actor_dense_0"]["kernel"]
+    assert len(k0.sharding.device_set) >= 2
+    before = np.asarray(jax.device_get(k0)).copy()
+    ts, metrics = trainer.train_step(ts)
+    after = np.asarray(jax.device_get(ts.params["actor_dense_0"]["kernel"]))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(before, after)  # gradients actually applied
