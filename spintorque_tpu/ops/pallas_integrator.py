@@ -12,7 +12,7 @@ Specializations (enforced by ``pallas_supported``):
   * easy axis = +z (all canned device types; the general-axis case falls
     back to the XLA path)
   * float32
-  * methods 'rk4' and 'euler', noise modes 'reference' and 'physical'
+  * methods 'rk4', 'heun' and 'euler'; noise modes 'reference' and 'physical'
 
 Numerics match the XLA path op-for-op in the deterministic case (verified
 by tests/unit/test_pallas_integrator.py at near-bitwise tolerance).
@@ -39,7 +39,7 @@ from ..physics.llgs import LLGSParams
 LANES = 128
 ROWS_PER_TILE = 64  # 8192 envs per grid program
 
-_N_STAGES = {"euler": 1, "rk4": 4}
+_N_STAGES = {"euler": 1, "heun": 2, "rk4": 4}
 
 
 def pallas_supported(params: LLGSParams, config: IntegratorConfig, dtype) -> bool:
@@ -103,15 +103,10 @@ def _kernel(
 
     shape = mx0.shape
 
-    def rhs(mx, my, mz):
+    def rhs_with_noise(mx, my, mz, noise):
         """dm/dt with easy axis = +z (see physics/llgs.py for the general
         form; identical op order for bitwise agreement)."""
-        if thermal:
-            nx = sigma * _normal_from_bits(shape)
-            ny = sigma * _normal_from_bits(shape)
-            nz = sigma * _normal_from_bits(shape)
-        else:
-            nx = ny = nz = 0.0
+        nx, ny, nz = noise
         anis = h_k * mz  # (m . z) scaled
         hx = 0.0 + nx
         hy = 0.0 + ny
@@ -135,6 +130,17 @@ def _kernel(
         fz = -gamma_eff * (pz + alpha * dz) + stt_c * vz
         return fx, fy, fz
 
+    def rhs(mx, my, mz):
+        if thermal:
+            noise = (
+                sigma * _normal_from_bits(shape),
+                sigma * _normal_from_bits(shape),
+                sigma * _normal_from_bits(shape),
+            )
+        else:
+            noise = (0.0, 0.0, 0.0)
+        return rhs_with_noise(mx, my, mz, noise)
+
     def normalize(mx, my, mz):
         norm = jnp.sqrt(mx * mx + my * my + mz * mz)
         finite = jnp.isfinite(mx) & jnp.isfinite(my) & jnp.isfinite(mz)
@@ -152,6 +158,22 @@ def _kernel(
         if method == "euler":
             fx, fy, fz = rhs(mx, my, mz)
             return mx + dt * fx, my + dt * fy, mz + dt * fz
+        if method == "heun":
+            # Stochastic Heun: the corrector reuses the predictor's noise.
+            if thermal:
+                nx = sigma * _normal_from_bits(shape)
+                ny = sigma * _normal_from_bits(shape)
+                nz = sigma * _normal_from_bits(shape)
+                noise = (nx, ny, nz)
+            else:
+                noise = (0.0, 0.0, 0.0)
+            fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
+            gx, gy, gz = rhs_with_noise(mx + dt * fx, my + dt * fy, mz + dt * fz, noise)
+            return (
+                mx + 0.5 * dt * (fx + gx),
+                my + 0.5 * dt * (fy + gy),
+                mz + 0.5 * dt * (fz + gz),
+            )
         k1x, k1y, k1z = rhs(mx, my, mz)
         k1x, k1y, k1z = dt * k1x, dt * k1y, dt * k1z
         k2x, k2y, k2z = rhs(mx + k1x / 2, my + k1y / 2, mz + k1z / 2)

@@ -38,10 +38,13 @@ def test_pallas_supported_gate():
     assert not pallas_supported(PARAMS, cfg, jnp.float64)
     tilted = PARAMS.replace(easy_axis=jnp.array([1.0, 0.0, 0.0], jnp.float32))
     assert not pallas_supported(tilted, cfg, jnp.float32)
-    assert not pallas_supported(PARAMS, IntegratorConfig(method="heun"), jnp.float32)
+    assert pallas_supported(PARAMS, IntegratorConfig(method="heun"), jnp.float32)
+    assert not pallas_supported(
+        PARAMS, IntegratorConfig(method="dop853"), jnp.float32
+    )
 
 
-@pytest.mark.parametrize("method", ["euler", "rk4"])
+@pytest.mark.parametrize("method", ["euler", "heun", "rk4"])
 def test_pallas_matches_xla_deterministic(method):
     m0, spans, cur = _setup()
     cfg = IntegratorConfig(method=method, max_substeps=512)
