@@ -151,9 +151,14 @@ class LLGSSolver:
         t_start, t_end = t_span
         span = float(t_end) - float(t_start)
         if span <= 0.0:
+            # Trivial solution returns the NORMALIZED initial state, as the
+            # reference validates before the span check (simple_solver.py:119-123).
+            norm = np.linalg.norm(m, axis=-1, keepdims=True)
+            m_norm = np.where(norm >= 1e-12, m / np.where(norm == 0, 1.0, norm),
+                              np.array([0.0, 0.0, 1.0]))
             return {
                 "t": jnp.asarray([t_start, t_end], self.dtype),
-                "m": jnp.asarray(m_initial, self.dtype),
+                "m": jnp.asarray(m_norm[0] if single else m_norm, self.dtype),
                 "success": True,
                 "message": "Trivial solution (zero time span)",
                 "n_steps": 1,

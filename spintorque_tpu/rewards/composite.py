@@ -127,9 +127,9 @@ class CompositeReward:
         Normalization semantics follow composite_reward.py:128-187:
         running_mean subtracts the running mean, running_std standardizes,
         unit_range maps into [0, 1] by running min/max, and dict configs use
-        explicit constants. Stats update *after* the value is normalized
-        against the pre-update history, matching the reference's
-        compute-then-append ordering (:96-121).
+        explicit constants. Matching the reference's ordering (:96-121): a
+        value is normalized against the PRE-update history, and the history
+        then absorbs the post-normalize post-clip value.
         """
         stats = dict(stats or {})
         total = None
@@ -137,25 +137,25 @@ class CompositeReward:
         for name, c in self.components.items():
             value = c["function"](ctx)
             norm = c["normalize"]
+            needs_stat_update = False
             if isinstance(norm, str):
                 st = stats[name]
                 has_history = st.count > 0
                 if norm == "running_mean":
-                    value_n = jnp.where(has_history, value - st.mean, value)
+                    value = jnp.where(has_history, value - st.mean, value)
                 elif norm == "running_std":
                     has2 = st.count > 1
-                    value_n = jnp.where(
+                    value = jnp.where(
                         has2, (value - st.mean) / (st.std() + 1e-8), value
                     )
                 elif norm == "unit_range":
                     span = st.max - st.min
-                    value_n = jnp.where(
+                    value = jnp.where(
                         has_history & (span > 0), (value - st.min) / span, value
                     )
                 else:
                     raise ValueError(f"Unknown normalization method: {norm}")
-                stats[name] = st.update(value)
-                value = value_n
+                needs_stat_update = True
             elif isinstance(norm, dict):
                 if "mean" in norm and "std" in norm:
                     value = (value - norm["mean"]) / (norm["std"] + 1e-8)
@@ -167,6 +167,8 @@ class CompositeReward:
             if c["clip"] is not None:
                 lo, hi = c["clip"]
                 value = jnp.clip(value, lo, hi)
+            if needs_stat_update:
+                stats[name] = stats[name].update(value)
             weighted = c["weight"] * value
             breakdown[name] = value
             total = weighted if total is None else total + weighted
