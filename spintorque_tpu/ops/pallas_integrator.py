@@ -60,8 +60,9 @@ def pallas_supported(params: LLGSParams, config: IntegratorConfig, dtype) -> boo
     return bool(ez_ok)
 
 
-def _normal_from_bits(shape):
-    """Standard normals from the on-core PRNG via Box-Muller."""
+def _normal_pair_from_bits(shape):
+    """Two independent standard normals per Box-Muller transform (using both
+    the cos and sin halves costs one log/sqrt per TWO draws)."""
     b1 = pltpu.prng_random_bits(shape)
     b2 = pltpu.prng_random_bits(shape)
     # uint32 -> uniform (0, 1]; add 1 ulp to avoid log(0).
@@ -69,7 +70,14 @@ def _normal_from_bits(shape):
     u2 = b2.astype(jnp.float32) * (1.0 / 4294967296.0)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = (2.0 * math.pi) * u2
-    return r * jnp.cos(theta)
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _noise3(sigma, shape):
+    """Three scaled normal fields from two Box-Muller transforms."""
+    n0, n1 = _normal_pair_from_bits(shape)
+    n2, _ = _normal_pair_from_bits(shape)
+    return sigma * n0, sigma * n1, sigma * n2
 
 
 def _kernel(
@@ -131,14 +139,7 @@ def _kernel(
         return fx, fy, fz
 
     def rhs(mx, my, mz):
-        if thermal:
-            noise = (
-                sigma * _normal_from_bits(shape),
-                sigma * _normal_from_bits(shape),
-                sigma * _normal_from_bits(shape),
-            )
-        else:
-            noise = (0.0, 0.0, 0.0)
+        noise = _noise3(sigma, shape) if thermal else (0.0, 0.0, 0.0)
         return rhs_with_noise(mx, my, mz, noise)
 
     def normalize(mx, my, mz):
@@ -160,13 +161,7 @@ def _kernel(
             return mx + dt * fx, my + dt * fy, mz + dt * fz
         if method == "heun":
             # Stochastic Heun: the corrector reuses the predictor's noise.
-            if thermal:
-                nx = sigma * _normal_from_bits(shape)
-                ny = sigma * _normal_from_bits(shape)
-                nz = sigma * _normal_from_bits(shape)
-                noise = (nx, ny, nz)
-            else:
-                noise = (0.0, 0.0, 0.0)
+            noise = _noise3(sigma, shape) if thermal else (0.0, 0.0, 0.0)
             fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
             gx, gy, gz = rhs_with_noise(mx + dt * fx, my + dt * fy, mz + dt * fz, noise)
             return (
@@ -268,9 +263,13 @@ def integrate_pulse_pallas(
         seed = jnp.int32(0)
 
     # Reshape (B,) -> (rows, 128), padded to a multiple of the tile rows.
+    # Tile height adapts downward so small batches do not pad to wasted
+    # compute (TPU v5e has a single TensorCore: grid tiles serialize, so
+    # there is no parallelism reason to force large tiles).
     rows = -(-B // LANES)
-    tiles = -(-rows // ROWS_PER_TILE)
-    rows_padded = tiles * ROWS_PER_TILE
+    rows_per_tile = min(ROWS_PER_TILE, max(8, -(-rows // 8) * 8))
+    tiles = -(-rows // rows_per_tile)
+    rows_padded = tiles * rows_per_tile
 
     def to2d(x, fill=0.0):
         flat = jnp.pad(x, (0, rows * LANES - B), constant_values=fill)
@@ -293,7 +292,7 @@ def integrate_pulse_pallas(
         to2d(stt),
     ]
 
-    block = (ROWS_PER_TILE, LANES)
+    block = (rows_per_tile, LANES)
     # index_map receives (grid_idx, *scalar_prefetch_refs).
     tensor_spec = pl.BlockSpec(
         block, lambda i, *prefetch: (i, 0), memory_space=pltpu.VMEM
