@@ -13,9 +13,17 @@ Baseline: the reference's measured 1.802 s/step single env on CPU
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the fused env-step program is expensive to
+# compile through remote-compile tunnels; cache it across processes.
+os.makedirs("/tmp/spintorque_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/spintorque_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 REFERENCE_STEPS_PER_S = 1.0 / 1.802  # reference quality-gate measurement
@@ -34,7 +42,7 @@ def main():
     state, obs = env.reset(key)
 
     @jax.jit
-    def step_n(state, obs, key, n=16):
+    def step_n(state, obs, key, n=8):
         def body(carry, k):
             state, obs = carry
             action = policy(None, obs, k)
@@ -48,7 +56,7 @@ def main():
     state, obs, _ = step_n(state, obs, key)
     jax.block_until_ready(obs)
 
-    n_iters, n_inner = 5, 16
+    n_iters, n_inner = 8, 8
     t0 = time.perf_counter()
     for i in range(n_iters):
         key, sub = jax.random.split(key)

@@ -60,12 +60,20 @@ def cmd_train(args) -> int:
     if args.backend == "sb3":
         return _train_sb3(args, c)
 
+    if c.compute.distributed or c.compute.coordinator_address:
+        from .parallel import initialize
+
+        initialize(coordinator_address=c.compute.coordinator_address)
+
     env = manager.make_env()
     mesh = None
     if jax.device_count() > 1:
         from .parallel import make_mesh
 
-        mesh = make_mesh(n_model=max(1, c.compute.mesh_model))
+        mesh = make_mesh(
+            n_data=c.compute.mesh_data or None,
+            n_model=max(1, c.compute.mesh_model),
+        )
     trainer = PPOTrainer(
         env,
         PPOConfig(

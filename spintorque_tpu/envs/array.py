@@ -78,6 +78,7 @@ class ArrayEnvState:
     total_energy: Any  # (B,)
     episode_return: Any  # (B,)
     key: Any
+    reward_stats: Dict[str, Any] = struct.field(default_factory=dict)
 
 
 class ArrayTimeStep(NamedTuple):
@@ -212,6 +213,7 @@ class SpinTorqueArrayEnv:
         key, k_m = jax.random.split(key)
         m = jax.random.normal(k_m, (B, N, 3), dtype)
         m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+        stats = self.reward.init_stats(B, dtype) if self.reward.needs_stats else {}
         return ArrayEnvState(
             pattern=m,
             target=jnp.broadcast_to(self.target_pattern, (B, N, 3)),
@@ -219,6 +221,7 @@ class SpinTorqueArrayEnv:
             total_energy=jnp.zeros((B,), dtype),
             episode_return=jnp.zeros((B,), dtype),
             key=key,
+            reward_stats=stats,
         )
 
     def _decode_action(self, action):
@@ -391,7 +394,7 @@ class SpinTorqueArrayEnv:
                 "magnitude_std": magnitudes.std(-1),
             },
         )
-        reward, breakdown, _ = self.reward.compute(ctx)
+        reward, breakdown, new_stats = self.reward.compute(ctx, state.reward_stats)
         episode_return = state.episode_return + reward
 
         info = {
@@ -415,6 +418,7 @@ class SpinTorqueArrayEnv:
                 step=jnp.where(done, 0, step),
                 total_energy=jnp.where(done, zero, total_energy),
                 episode_return=jnp.where(done, zero, episode_return),
+                reward_stats=new_stats,
             )
             obs_reset = self._observe(next_state)
             expand = lambda a: done.reshape((B,) + (1,) * (a.ndim - 1))
@@ -426,7 +430,9 @@ class SpinTorqueArrayEnv:
                 obs = jnp.where(expand(obs_step), obs_reset, obs_step)
             info["final_observation"] = obs_step
         else:
-            next_state = mid_state.replace(episode_return=episode_return)
+            next_state = mid_state.replace(
+                episode_return=episode_return, reward_stats=new_stats
+            )
             obs = obs_step
 
         return next_state, ArrayTimeStep(

@@ -582,9 +582,7 @@ class GymSkyrmionRacetrackEnv(gym.Env):
                 positions=jnp.asarray(p, cfg.jnp_dtype)[None]
             )
         if "target_positions" in options:
-            self._env.target_x = jnp.asarray(
-                np.asarray(options["target_positions"], float), cfg.jnp_dtype
-            )
+            self._env.set_targets(options["target_positions"])
         self._state = state
         obs = self._env.observe(state)
         return _to_numpy_obs(obs, squeeze=True), {"step_count": 0}

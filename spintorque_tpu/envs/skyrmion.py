@@ -75,6 +75,7 @@ class SkyrmionEnvState:
     total_energy: Any  # (B,)
     episode_return: Any  # (B,)
     key: Any
+    reward_stats: Dict[str, Any] = struct.field(default_factory=dict)
 
 
 class SkyrmionTimeStep(NamedTuple):
@@ -193,6 +194,19 @@ class SkyrmionRacetrackEnv:
     def observe(self, state: SkyrmionEnvState):
         return self._observe_jit(state)
 
+    def set_targets(self, target_x) -> None:
+        """Replace the per-skyrmion target x-positions.
+
+        Targets are closure constants of the jitted step/observe programs,
+        so the jit wrappers are rebuilt here; stale-constant reuse was a
+        silent-wrong-answer bug (review finding)."""
+        self.target_x = jnp.asarray(
+            np.asarray(target_x, float), self.config.jnp_dtype
+        )
+        self._step = jax.jit(self._step_impl)
+        self._reset = jax.jit(self._reset_impl)
+        self._observe_jit = jax.jit(self._observe)
+
     @property
     def num_actions(self) -> int:
         return len(_DIRECTIONS) * _N_GRADIENTS * _N_DURATIONS  # 45
@@ -209,6 +223,7 @@ class SkyrmionRacetrackEnv:
             cfg.skyrmion_radius, cfg.track_length - cfg.skyrmion_radius,
         )
         y = jnp.full((B, n), cfg.track_width / 2.0, dtype)
+        stats = self.reward.init_stats(B, dtype) if self.reward.needs_stats else {}
         return SkyrmionEnvState(
             positions=jnp.stack([x, y], axis=-1),
             velocities=jnp.zeros((B, n, 2), dtype),
@@ -216,6 +231,7 @@ class SkyrmionRacetrackEnv:
             total_energy=jnp.zeros((B,), dtype),
             episode_return=jnp.zeros((B,), dtype),
             key=key,
+            reward_stats=stats,
         )
 
     def _decode_action(self, action):
@@ -408,7 +424,7 @@ class SkyrmionRacetrackEnv:
                 "total_displacement": displacement,
             },
         )
-        reward, breakdown, _ = self.reward.compute(ctx)
+        reward, breakdown, new_stats = self.reward.compute(ctx, state.reward_stats)
         episode_return = state.episode_return + reward
 
         info = {
@@ -439,6 +455,7 @@ class SkyrmionRacetrackEnv:
                 step=jnp.where(done, 0, step),
                 total_energy=jnp.where(done, zero, total_energy),
                 episode_return=jnp.where(done, zero, episode_return),
+                reward_stats=new_stats,
             )
             obs_reset = self._observe(next_state)
             expand = lambda a: done.reshape((B,) + (1,) * (a.ndim - 1))
@@ -450,7 +467,9 @@ class SkyrmionRacetrackEnv:
                 obs = jnp.where(expand(obs_step), obs_reset, obs_step)
             info["final_observation"] = obs_step
         else:
-            next_state = mid_state.replace(episode_return=episode_return)
+            next_state = mid_state.replace(
+                episode_return=episode_return, reward_stats=new_stats
+            )
             obs = obs_step
 
         return next_state, SkyrmionTimeStep(

@@ -251,7 +251,16 @@ class SpinTorqueEnv:
         dtype = cfg.jnp_dtype
         if cfg.action_mode == "continuous":
             action = jnp.asarray(action, dtype)
+            if action.ndim == 1 and self.batch_size == 1 and action.shape[0] == 2:
+                # A single env given the documented [current, duration] pair.
+                action = action[None, :]
             if action.ndim == 1:  # (B,) current-only -> default 1 ns
+                if action.shape[0] != self.batch_size:
+                    raise ValueError(
+                        f"1-D continuous action of length {action.shape[0]} does "
+                        f"not match batch_size {self.batch_size}; pass (B, 2) "
+                        "[current, duration] actions"
+                    )
                 current = action
                 duration = jnp.full_like(current, 1e-9)
             else:

@@ -62,15 +62,29 @@ def pallas_supported(params: LLGSParams, config: IntegratorConfig, dtype) -> boo
 
 def _normal_pair_from_bits(shape):
     """Two independent standard normals per Box-Muller transform (using both
-    the cos and sin halves costs one log/sqrt per TWO draws)."""
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    # uint32 -> uniform (0, 1]; add 1 ulp to avoid log(0).
-    u1 = (b1.astype(jnp.float32) + 1.0) * (1.0 / 4294967296.0)
-    u2 = b2.astype(jnp.float32) * (1.0 / 4294967296.0)
+    the cos and sin halves costs one log/sqrt per TWO draws).
+
+    prng_random_bits returns SIGNED int32 in this JAX version, so a naive
+    .astype(float32) makes half the draws negative and log(u1) NaN - the
+    thermal field would then silently reset trajectories via the per-substep
+    normalize fallback. Mosaic also cannot lower uint32->f32 casts, so
+    uniforms are built with the mantissa-bitcast trick: keep 23 random
+    mantissa bits under exponent 0x3F8 to get f in [1, 2), subtract 1.
+    """
+    u1 = 1.0 - _uniform_from_bits(shape)  # (0, 1] - safe for log
+    u2 = _uniform_from_bits(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = (2.0 * math.pi) * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _uniform_from_bits(shape):
+    """Uniform [0, 1) floats from raw PRNG bits via mantissa bitcast."""
+    bits = pltpu.prng_random_bits(shape)
+    mant = jnp.bitwise_or(
+        jnp.bitwise_and(bits, jnp.int32(0x7FFFFF)), jnp.int32(0x3F800000)
+    )
+    return pltpu.bitcast(mant, jnp.float32) - 1.0
 
 
 def _noise3(sigma, shape):
@@ -236,6 +250,7 @@ def integrate_pulse_pallas(
 
     dt, n = substep_counts(span, config.max_step)
     n = jnp.minimum(n, config.max_substeps)
+    dt = span / n.astype(dtype)  # full-span integration when n is clamped
     n_max = jnp.max(n).astype(jnp.int32)
 
     # Broadcast per-env physics coefficients.
@@ -250,6 +265,8 @@ def integrate_pulse_pallas(
     stt = jnp.where(jnp.abs(current) > 1e-12, stt, 0.0)
 
     if config.thermal:
+        if config.noise_mode not in ("reference", "physical"):
+            raise ValueError(f"Unknown noise_mode: {config.noise_mode}")
         temperature = jnp.broadcast_to(jnp.asarray(temperature, dtype), (B,))
         denom = MU0 * ms * vol * GAMMA
         if config.noise_mode == "physical":

@@ -41,7 +41,7 @@ from jax import lax
 from ..constants import GAMMA, KB_SOLVER, MU0
 from .llgs import LLGSParams, dmdt, normalize_with_fallback
 
-_N_STAGES = {"euler": 1, "heun": 2, "rk4": 4}
+_N_STAGES = {"euler": 1, "heun": 1, "rk4": 4}
 
 
 class IntegratorConfig(NamedTuple):
@@ -218,6 +218,10 @@ def integrate_pulse(
 
     dt, n = substep_counts(span, config.max_step)
     n = jnp.minimum(n, config.max_substeps)
+    # Recompute dt from the clamped n so out-of-budget pulses integrate
+    # their FULL span at coarser dt instead of silently truncating; for
+    # in-range pulses span/n is bitwise the value substep_counts produced.
+    dt = span / n.astype(dtype)
     n_max = jnp.max(n)
 
     if config.thermal:
@@ -271,6 +275,7 @@ def integrate_pulse_trajectory(
     current = jnp.asarray(current, dtype)
     dt, n = substep_counts(span, config.max_step)
     n = jnp.minimum(n, config.max_substeps)
+    dt = span / n.astype(dtype)
     sigma = (
         _noise_sigma(params, temperature, dt, config, dtype) if config.thermal else None
     )

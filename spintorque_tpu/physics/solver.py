@@ -98,7 +98,7 @@ class LLGSSolver:
 
     def __init__(
         self,
-        method: str = "rk4",
+        method: str = "euler",  # reference default (simple_solver.py:28)
         rtol: float = 1e-3,
         atol: float = 1e-6,
         max_step: float = 1e-12,
@@ -154,7 +154,8 @@ class LLGSSolver:
             # Trivial solution returns the NORMALIZED initial state, as the
             # reference validates before the span check (simple_solver.py:119-123).
             norm = np.linalg.norm(m, axis=-1, keepdims=True)
-            m_norm = np.where(norm >= 1e-12, m / np.where(norm == 0, 1.0, norm),
+            ok = (norm >= 1e-12) & np.isfinite(norm) & np.isfinite(m).all(-1, keepdims=True)
+            m_norm = np.where(ok, m / np.where(ok, norm, 1.0),
                               np.array([0.0, 0.0, 1.0]))
             return {
                 "t": jnp.asarray([t_start, t_end], self.dtype),
