@@ -253,6 +253,36 @@ class GymSpinTorqueEnv(gym.Env):
             self._env.config.device_type, self._ctor["device_params"]
         ).get_device_info()
 
+    # ---- monitoring surfaces (spin_torque_env.py:699-718) ----
+
+    def get_health_report(self) -> Dict[str, Any]:
+        from ..utils.monitoring import default_health_monitor
+
+        report = default_health_monitor().run()
+        report["episode_steps"] = len(self.episode_history)
+        return report
+
+    def get_solver_info(self) -> Dict[str, Any]:
+        cfg = self._env.config
+        return {
+            "method": cfg.method,
+            "max_substeps": cfg.resolved_max_substeps(),
+            "use_pallas": bool(cfg.use_pallas),
+            "thermal": cfg.include_thermal,
+            "noise_mode": cfg.noise_mode,
+            "dtype": cfg.dtype,
+        }
+
+    def get_performance_stats(self) -> Dict[str, Any]:
+        import jax
+
+        return {
+            "solver": self.get_solver_info(),
+            "health": self.get_health_report(),
+            "backend": jax.default_backend(),
+            "devices": jax.device_count(),
+        }
+
     def render(self):  # pragma: no cover - optional visualization
         if self.render_mode is None:
             return None
