@@ -11,8 +11,6 @@ envs/skyrmion.py; these are the standalone device-physics queries.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from ..constants import KB_SOLVER, MU0

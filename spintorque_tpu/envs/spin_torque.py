@@ -27,8 +27,6 @@ Semantics parity map (reference -> here):
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax

@@ -8,7 +8,7 @@ evaluation over (theta, phi) grids - the whole landscape in one device pass.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

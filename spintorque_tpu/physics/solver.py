@@ -26,7 +26,6 @@ from .integrator import (
     IntegratorConfig,
     integrate_pulse,
     integrate_pulse_trajectory,
-    max_substeps_for,
 )
 from .llgs import LLGSParams
 

@@ -11,7 +11,6 @@ and minibatched clipped-surrogate updates are one jitted program. Under a
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

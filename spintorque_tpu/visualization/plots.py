@@ -8,7 +8,7 @@ matplotlib Figure so callers can save or display.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
