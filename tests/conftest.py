@@ -9,10 +9,13 @@ dtype-explicit so float32 paths remain covered.
 
 import os
 
-# Must be set before jax initializes. Forced (not setdefault): the machine
-# environment pins JAX_PLATFORMS to the TPU backend, but the test suite runs
-# on a fake 8-device CPU backend (single-chip TPU runs happen via bench.py /
-# __graft_entry__.py instead, and x64 parity needs real float64).
+# Must take effect before jax initializes its backends. The machine
+# environment pins JAX_PLATFORMS to the TPU backend and a sitecustomize may
+# import jax at interpreter startup, so setting the env var here is not
+# enough — force the platform through jax.config as well (valid until the
+# first backend initialization). The test suite runs on a fake 8-device CPU
+# backend; single-chip TPU runs happen via bench.py / __graft_entry__.py
+# instead, and x64 parity needs real float64.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -22,6 +25,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
