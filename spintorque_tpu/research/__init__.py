@@ -9,6 +9,37 @@ policy comparison - as classical population methods whose populations
 evaluate in single vmapped physics calls on TPU.
 """
 
+from .comparative_algorithms import (
+    ComparativeAnalysis,
+    OptimalControlBaseline,
+    PhysicsInformedRL,
+    run_comprehensive_benchmark,
+)
+from .novel_algorithms import (
+    AdaptiveMetaLearner,
+    Hypothesis,
+    HypothesisDrivenExperimentEngine,
+    QuantumInspiredSpintronicOptimizer,
+)
+from .publication_framework import (
+    FigureGenerator,
+    PublicationFramework,
+    StatisticalAnalyzer,
+)
+from .quantum_machine_learning import (
+    QuantumNeuralNetwork,
+    QuantumReinforcementLearning,
+    QuantumSpinOptimizer,
+)
+from .quantum_spintronics import (
+    QuantumSpintronicBenchmark,
+    QuantumSpintronicOptimizer,
+)
+from .validation_framework import (
+    QuantumValidationFramework,
+    ResearchValidationFramework,
+    ValidationCheck,
+)
 from .benchmarking import (
     BenchmarkResult,
     BenchmarkSuite,
@@ -27,6 +58,26 @@ from .optimizers import (
 )
 
 __all__ = [
+    "ComparativeAnalysis",
+    "OptimalControlBaseline",
+    "PhysicsInformedRL",
+    "run_comprehensive_benchmark",
+    "AdaptiveMetaLearner",
+    "Hypothesis",
+    "HypothesisDrivenExperimentEngine",
+    "QuantumInspiredSpintronicOptimizer",
+    "FigureGenerator",
+    "PublicationFramework",
+    "StatisticalAnalyzer",
+    "QuantumNeuralNetwork",
+    "QuantumReinforcementLearning",
+    "QuantumSpinOptimizer",
+    "QuantumSpintronicBenchmark",
+    "QuantumSpintronicOptimizer",
+    "QuantumValidationFramework",
+    "ResearchValidationFramework",
+    "ValidationCheck",
+
     "BenchmarkResult",
     "BenchmarkSuite",
     "bootstrap_ci",

@@ -5,5 +5,11 @@ is imported lazily; nothing here touches the TPU hot path.
 """
 
 from .plots import SpintronicVisualizer, plot_energy_surface, plot_trajectory
+from .research_plots import QuantumSpintronicVisualizer
 
-__all__ = ["SpintronicVisualizer", "plot_energy_surface", "plot_trajectory"]
+__all__ = [
+    "SpintronicVisualizer",
+    "plot_energy_surface",
+    "plot_trajectory",
+    "QuantumSpintronicVisualizer",
+]
