@@ -18,9 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..quantum.advantage_verification import QuantumAdvantageVerifier
-from ..quantum.optimization import IterationFreeQAOA
 from .optimizers import OptimizationResult, cross_entropy
+
+# NOTE: quantum-tier imports are deferred into methods: research/__init__
+# imports this module while spintorque_tpu.quantum may still be mid-import
+# (quantum/advantage_verification imports research.benchmarking), and a
+# module-level import here would close that cycle.
 
 __all__ = ["QuantumSpintronicOptimizer", "QuantumSpintronicBenchmark"]
 
@@ -37,6 +40,8 @@ class QuantumSpintronicOptimizer:
     """
 
     def __init__(self, n_layers: int = 1, grid_points: int = 24, seed: int = 0):
+        from ..quantum.optimization import IterationFreeQAOA
+
         self.qaoa = IterationFreeQAOA(n_layers=n_layers, grid_points=grid_points)
         self.seed = seed
 
@@ -136,10 +141,14 @@ class QuantumSpintronicBenchmark:
         return float(x @ Q @ x)
 
     def _qaoa_method(self, Q: np.ndarray) -> float:
+        from ..quantum.optimization import IterationFreeQAOA
+
         qaoa = IterationFreeQAOA(grid_points=16)
         return qaoa.optimize(Q).best_value
 
     def _exhaustive(self, Q: np.ndarray) -> float:
+        from ..quantum.optimization import IterationFreeQAOA
+
         cost = np.asarray(IterationFreeQAOA.qubo_cost_vector(Q))
         return float(cost.min())
 
@@ -157,6 +166,8 @@ class QuantumSpintronicBenchmark:
         return self._cost(Q, x)
 
     def run(self) -> Dict[str, Any]:
+        from ..quantum.advantage_verification import QuantumAdvantageVerifier
+
         verifier = QuantumAdvantageVerifier(n_instances=self.n_instances)
         vs_greedy = verifier.verify(
             "QAOA beats greedy local search on device QUBOs",
