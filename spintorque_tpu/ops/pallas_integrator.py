@@ -94,9 +94,28 @@ def _noise3(sigma, shape):
     return sigma * n0, sigma * n1, sigma * n2
 
 
+def _noise_stages(sigma, shape, n_stages):
+    """Per-stage (nx, ny, nz) noise for all RK stages of one substep.
+
+    Drawing the whole substep's 3*n_stages normals up front uses every
+    Box-Muller output (ceil(3n/2) transforms instead of 2n) - the
+    transcendentals (log/sqrt/cos/sin) dominate thermal-path cost, so for
+    RK4 this trims the noise work by 25%.
+    """
+    total = 3 * n_stages
+    draws = []
+    while len(draws) < total:
+        a, b = _normal_pair_from_bits(shape)
+        draws.extend([a, b])
+    return [
+        (sigma * draws[3 * s], sigma * draws[3 * s + 1], sigma * draws[3 * s + 2])
+        for s in range(n_stages)
+    ]
+
+
 def _kernel(
     # scalar prefetch
-    nmax_ref,  # (1,) int32 in SMEM
+    nmax_ref,  # (tiles,) int32 in SMEM: per-TILE substep bound
     seed_ref,  # (1,) int32 in SMEM
     # tensor inputs (VMEM blocks)
     mx_ref, my_ref, mz_ref,
@@ -108,7 +127,7 @@ def _kernel(
     method: str,
     thermal: bool,
 ):
-    nmax = nmax_ref[0]
+    nmax = nmax_ref[pl.program_id(0)]
     if thermal:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -152,9 +171,7 @@ def _kernel(
         fz = -gamma_eff * (pz + alpha * dz) + stt_c * vz
         return fx, fy, fz
 
-    def rhs(mx, my, mz):
-        noise = _noise3(sigma, shape) if thermal else (0.0, 0.0, 0.0)
-        return rhs_with_noise(mx, my, mz, noise)
+    zero_noise = (0.0, 0.0, 0.0)
 
     def normalize(mx, my, mz):
         norm = jnp.sqrt(mx * mx + my * my + mz * mz)
@@ -171,11 +188,12 @@ def _kernel(
 
     def substep(mx, my, mz):
         if method == "euler":
-            fx, fy, fz = rhs(mx, my, mz)
+            noise = _noise3(sigma, shape) if thermal else zero_noise
+            fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
             return mx + dt * fx, my + dt * fy, mz + dt * fz
         if method == "heun":
             # Stochastic Heun: the corrector reuses the predictor's noise.
-            noise = _noise3(sigma, shape) if thermal else (0.0, 0.0, 0.0)
+            noise = _noise3(sigma, shape) if thermal else zero_noise
             fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
             gx, gy, gz = rhs_with_noise(mx + dt * fx, my + dt * fy, mz + dt * fz, noise)
             return (
@@ -183,13 +201,14 @@ def _kernel(
                 my + 0.5 * dt * (fy + gy),
                 mz + 0.5 * dt * (fz + gz),
             )
-        k1x, k1y, k1z = rhs(mx, my, mz)
+        stage = _noise_stages(sigma, shape, 4) if thermal else [zero_noise] * 4
+        k1x, k1y, k1z = rhs_with_noise(mx, my, mz, stage[0])
         k1x, k1y, k1z = dt * k1x, dt * k1y, dt * k1z
-        k2x, k2y, k2z = rhs(mx + k1x / 2, my + k1y / 2, mz + k1z / 2)
+        k2x, k2y, k2z = rhs_with_noise(mx + k1x / 2, my + k1y / 2, mz + k1z / 2, stage[1])
         k2x, k2y, k2z = dt * k2x, dt * k2y, dt * k2z
-        k3x, k3y, k3z = rhs(mx + k2x / 2, my + k2y / 2, mz + k2z / 2)
+        k3x, k3y, k3z = rhs_with_noise(mx + k2x / 2, my + k2y / 2, mz + k2z / 2, stage[2])
         k3x, k3y, k3z = dt * k3x, dt * k3y, dt * k3z
-        k4x, k4y, k4z = rhs(mx + k3x, my + k3y, mz + k3z)
+        k4x, k4y, k4z = rhs_with_noise(mx + k3x, my + k3y, mz + k3z, stage[3])
         k4x, k4y, k4z = dt * k4x, dt * k4y, dt * k4z
         return (
             mx + (k1x + 2 * k2x + 2 * k3x + k4x) / 6,
@@ -251,7 +270,21 @@ def integrate_pulse_pallas(
     dt, n = substep_counts(span, config.max_step)
     n = jnp.minimum(n, config.max_substeps)
     dt = span / n.astype(dtype)  # full-span integration when n is clamped
-    n_max = jnp.max(n).astype(jnp.int32)
+
+    # Sort envs by descending substep count so each grid tile holds pulses
+    # of similar length and runs only to ITS OWN maximum (per-tile bound via
+    # scalar prefetch). With uniformly random durations this cuts total
+    # substep work from B*max(n) toward sum(n) - the masked loop otherwise
+    # spends ~half its iterations holding finished envs. Outputs are
+    # scattered back through the inverse permutation.
+    perm = jnp.argsort(-n)
+    inv_perm = jnp.argsort(perm)
+    n_s = n[perm]
+    dt_s = dt[perm]
+    current = current[perm]
+    mx0 = jnp.asarray(mx0, dtype)[perm]
+    my0 = jnp.asarray(my0, dtype)[perm]
+    mz0 = jnp.asarray(mz0, dtype)[perm]
 
     # Broadcast per-env physics coefficients.
     ms = jnp.broadcast_to(jnp.asarray(params.saturation_magnetization, dtype), (B,))
