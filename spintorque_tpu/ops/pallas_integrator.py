@@ -330,9 +330,9 @@ def integrate_pulse_pallas(
         to2d(jnp.asarray(my0, dtype)),
         to2d(jnp.asarray(mz0, dtype), fill=1.0),
         to2d(current),
-        to2d(dt, fill=1.0),
+        to2d(dt_s, fill=1.0),
         _pad_rows(
-            jnp.pad(n, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
+            jnp.pad(n_s, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
         ),
         to2d(sigma),
         to2d(h_k),
@@ -341,6 +341,14 @@ def integrate_pulse_pallas(
         to2d(alpha),
         to2d(stt),
     ]
+
+    # Per-tile substep bound: envs are sorted by descending n, so each tile's
+    # loop runs only to the max n within that tile (computed as a reduction so
+    # it stays correct even if the sort is disabled).
+    n_tiled = _pad_rows(
+        jnp.pad(n_s, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
+    )
+    tile_nmax = n_tiled.reshape(tiles, rows_per_tile * LANES).max(axis=1)
 
     block = (rows_per_tile, LANES)
     # index_map receives (grid_idx, *scalar_prefetch_refs).
@@ -364,13 +372,13 @@ def integrate_pulse_pallas(
             jax.ShapeDtypeStruct((rows_padded, LANES), jnp.int32),
         ],
     )(
-        jnp.asarray([n_max], jnp.int32),
+        tile_nmax.astype(jnp.int32),
         jnp.asarray([seed], jnp.int32),
         *args,
     )
 
     def back(x):
-        return x.reshape(-1)[:B]
+        return x.reshape(-1)[:B][inv_perm]
 
     return (
         (back(ox), back(oy), back(oz)),
