@@ -31,11 +31,16 @@ REFERENCE_STEPS_PER_S = 1.0 / 1.802  # reference quality-gate measurement
 
 def main():
     from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+    from spintorque_tpu.ops.pallas_integrator import tpu_kernel_available
     from spintorque_tpu.parallel import random_policy
 
     B = 4096
-    cfg = SpinTorqueEnvConfig(dtype="float32")  # defaults: thermal on, rk4, 5 ns
-    env = SpinTorqueEnv(batch_size=B, config=cfg)
+    # Pin the fast path explicitly (instead of trusting auto-detection) so
+    # the headline number provably includes the Pallas kernel whenever the
+    # hardware can run it; record the resolved flag in the JSON line.
+    use_pallas = tpu_kernel_available()
+    cfg = SpinTorqueEnvConfig(dtype="float32", use_pallas=use_pallas or None)
+    env = SpinTorqueEnv(batch_size=B, config=cfg)  # defaults: thermal, rk4, 5 ns
     policy = random_policy(env)
 
     key = jax.random.PRNGKey(0)
@@ -68,6 +73,7 @@ def main():
     n_chips = jax.local_device_count()
     steps_per_s_per_chip = total_steps / elapsed / n_chips
 
+    dev = jax.devices()[0]
     print(
         json.dumps(
             {
@@ -75,6 +81,9 @@ def main():
                 "value": round(steps_per_s_per_chip, 1),
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(steps_per_s_per_chip / REFERENCE_STEPS_PER_S, 1),
+                "use_pallas": bool(env.config.use_pallas),
+                "backend": jax.default_backend(),
+                "device_kind": getattr(dev, "device_kind", dev.platform),
             }
         )
     )

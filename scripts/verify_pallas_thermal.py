@@ -21,7 +21,9 @@ PARAMS = LLGSParams(
 
 
 def main() -> int:
-    if jax.default_backend() != "tpu":
+    from spintorque_tpu.ops.pallas_integrator import tpu_kernel_available
+
+    if not tpu_kernel_available():
         print("SKIP: needs a real TPU backend")
         return 0
     B = 4096

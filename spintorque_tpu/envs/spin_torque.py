@@ -159,7 +159,7 @@ class SpinTorqueEnv:
             # comes from the on-core PRNG instead of threefry (different
             # realization, same statistics - no parity contract in thermal
             # mode).
-            from ..ops.pallas_integrator import pallas_supported
+            from ..ops.pallas_integrator import pallas_supported, tpu_kernel_available
 
             want = config.use_pallas
             supported = pallas_supported(
@@ -168,7 +168,11 @@ class SpinTorqueEnv:
                 dtype,
             )
             if want is None:
-                want = supported and jax.default_backend() == "tpu"
+                # tpu_kernel_available does a device-kind check plus a tiny
+                # compile-probe: robust against TPU plugins that register
+                # under an experimental platform name (e.g. 'axon'), where
+                # jax.default_backend() == 'tpu' is false-negative.
+                want = supported and tpu_kernel_available()
             config = config._replace(use_pallas=bool(want and supported))
             self.config = config
 

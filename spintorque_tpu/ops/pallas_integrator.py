@@ -9,10 +9,13 @@ on-core PRNG (pltpu.prng_random_bits + Box-Muller) for the thermal field
 instead of host-keyed threefry.
 
 Specializations (enforced by ``pallas_supported``):
-  * easy axis = +z (all canned device types; the general-axis case falls
-    back to the XLA path)
   * float32
   * methods 'rk4', 'heun' and 'euler'; noise modes 'reference' and 'physical'
+
+Any finite unit easy axis is covered, scalar (3,) or per-env (B, 3). The
+common +z case (every canned device type) compiles a specialized RHS that
+skips the axis loads and projection arithmetic; tilted axes take a general
+RHS whose op order mirrors physics/llgs.py exactly.
 
 Numerics match the XLA path op-for-op in the deterministic case (verified
 by tests/unit/test_pallas_integrator.py at near-bitwise tolerance).
@@ -43,21 +46,74 @@ _N_STAGES = {"euler": 1, "heun": 2, "rk4": 4}
 
 
 def pallas_supported(params: LLGSParams, config: IntegratorConfig, dtype) -> bool:
-    """Whether the fast kernel covers this configuration."""
+    """Whether the fast kernel covers this configuration (concrete params)."""
     if config.method not in _N_STAGES:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    e = np.asarray(params.easy_axis)
-    if e.ndim == 1:
-        ez_ok = abs(e[0]) < 1e-12 and abs(e[1]) < 1e-12 and e[2] > 0
-    else:
-        ez_ok = (
-            np.all(np.abs(e[..., 0]) < 1e-12)
-            and np.all(np.abs(e[..., 1]) < 1e-12)
-            and np.all(e[..., 2] > 0)
+    try:
+        e = np.asarray(params.easy_axis)
+    except Exception:  # traced easy axis: cannot decide here
+        return False
+    norm = np.linalg.norm(np.atleast_2d(e), axis=-1)
+    return bool(np.all(np.isfinite(e)) and np.all(norm > 1e-12))
+
+
+def _is_plus_z(easy_axis) -> bool:
+    """True when every easy axis is exactly +z (specialized RHS applies).
+
+    Returns False for traced axes (conservative: general RHS is used)."""
+    try:
+        e = np.asarray(easy_axis)
+    except Exception:
+        return False
+    e = np.atleast_2d(e)
+    return bool(
+        np.all(np.abs(e[..., 0]) < 1e-12)
+        and np.all(np.abs(e[..., 1]) < 1e-12)
+        and np.all(e[..., 2] > 0)
+    )
+
+
+_TPU_PROBE: Optional[bool] = None
+
+
+def tpu_kernel_available() -> bool:
+    """Robust fast-path detection: the default device must identify as a TPU
+    AND a trivial Pallas kernel must compile and run on it.
+
+    jax.default_backend() alone is fragile - tunneled/experimental TPU
+    plugins can register under another platform name (e.g. 'axon') while the
+    device itself reports platform 'tpu'. The compile-probe settles it
+    definitively either way. Result is cached for the process lifetime.
+    """
+    global _TPU_PROBE
+    if _TPU_PROBE is not None:
+        return _TPU_PROBE
+    try:
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", "") or ""
+        looks_tpu = (
+            dev.platform == "tpu"
+            or "tpu" in kind.lower()
+            or jax.default_backend() == "tpu"
         )
-    return bool(ez_ok)
+        if not looks_tpu:
+            _TPU_PROBE = False
+            return False
+
+        def _probe_kernel(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1.0
+
+        x = jnp.zeros((8, LANES), jnp.float32)
+        out = pl.pallas_call(
+            _probe_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        )(x)
+        _TPU_PROBE = bool(jax.block_until_ready(out)[0, 0] == 1.0)
+    except Exception:
+        _TPU_PROBE = False
+    return _TPU_PROBE
 
 
 def _normal_pair_from_bits(shape):
@@ -78,9 +134,16 @@ def _normal_pair_from_bits(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+# Raw-bits source, indirected so tests can substitute a threefry-based
+# stream: pltpu.prng_random_bits returns all ZEROS under interpret mode on
+# CPU, which would otherwise make the thermal path untestable off-hardware
+# (tests/unit/test_pallas_integrator.py monkeypatches this).
+_prng_random_bits = pltpu.prng_random_bits
+
+
 def _uniform_from_bits(shape):
     """Uniform [0, 1) floats from raw PRNG bits via mantissa bitcast."""
-    bits = pltpu.prng_random_bits(shape)
+    bits = _prng_random_bits(shape)
     mant = jnp.bitwise_or(
         jnp.bitwise_and(bits, jnp.int32(0x7FFFFF)), jnp.int32(0x3F800000)
     )
@@ -117,16 +180,26 @@ def _kernel(
     # scalar prefetch
     nmax_ref,  # (tiles,) int32 in SMEM: per-TILE substep bound
     seed_ref,  # (1,) int32 in SMEM
-    # tensor inputs (VMEM blocks)
-    mx_ref, my_ref, mz_ref,
-    current_ref, dt_ref, n_ref, sigma_ref,
-    hk_ref, ms_ref, gamma_eff_ref, alpha_ref, stt_ref,
-    # outputs
-    ox_ref, oy_ref, oz_ref, failed_ref,
-    *,
+    # tensor inputs (VMEM blocks), then outputs; the easy-axis component
+    # blocks (ex, ey, ez) are present only when easy_z=False.
+    *refs,
     method: str,
     thermal: bool,
+    easy_z: bool,
 ):
+    if easy_z:
+        (mx_ref, my_ref, mz_ref,
+         current_ref, dt_ref, n_ref, sigma_ref,
+         hk_ref, ms_ref, gamma_eff_ref, alpha_ref, stt_ref,
+         ox_ref, oy_ref, oz_ref, failed_ref) = refs
+    else:
+        (mx_ref, my_ref, mz_ref,
+         current_ref, dt_ref, n_ref, sigma_ref,
+         hk_ref, ms_ref, gamma_eff_ref, alpha_ref, stt_ref,
+         ex_ref, ey_ref, ez_ref,
+         ox_ref, oy_ref, oz_ref, failed_ref) = refs
+        ex, ey, ez = ex_ref[:], ey_ref[:], ez_ref[:]
+
     nmax = nmax_ref[pl.program_id(0)]
     if thermal:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -145,19 +218,34 @@ def _kernel(
     shape = mx0.shape
 
     def rhs_with_noise(mx, my, mz, noise):
-        """dm/dt with easy axis = +z (see physics/llgs.py for the general
-        form; identical op order for bitwise agreement)."""
+        """dm/dt; op order mirrors physics/llgs.py for bitwise agreement.
+        easy_z=True specializes e=(0,0,1): the projections collapse and the
+        axis loads disappear (~30% fewer VPU ops in deterministic mode)."""
         nx, ny, nz = noise
-        anis = h_k * mz  # (m . z) scaled
-        hx = 0.0 + nx
-        hy = 0.0 + ny
-        hz = anis - ms * mz + nz
-        # torque direction: u = m x z = (my, -mx, 0); v = m x u (uz = 0).
-        ux = my
-        uy = -mx
-        vx = -(mz * uy)
-        vy = mz * ux
-        vz = mx * uy - my * ux
+        if easy_z:
+            anis = h_k * mz  # (m . z) scaled
+            hx = 0.0 + nx
+            hy = 0.0 + ny
+            hz = anis - ms * mz + nz
+            # torque direction: u = m x z = (my, -mx, 0); v = m x u (uz = 0).
+            ux = my
+            uy = -mx
+            vx = -(mz * uy)
+            vy = mz * ux
+            vz = mx * uy - my * ux
+        else:
+            m_dot_e = mx * ex + my * ey + mz * ez
+            anis = h_k * m_dot_e
+            hx = anis * ex + nx
+            hy = anis * ey + ny
+            hz = anis * ez - ms * mz + nz
+            # u = m x e; v = m x u  (llgs.py cross() term order)
+            ux = my * ez - mz * ey
+            uy = mz * ex - mx * ez
+            uz = mx * ey - my * ex
+            vx = my * uz - mz * uy
+            vy = mz * ux - mx * uz
+            vz = mx * uy - my * ux
         # precession p = m x h
         px = my * hz - mz * hy
         py = mz * hx - mx * hz
@@ -246,7 +334,6 @@ def _pad_rows(x, rows):
     return jnp.pad(x, ((0, rows - r), (0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
 def integrate_pulse_pallas(
     m0: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     span: jnp.ndarray,
@@ -260,7 +347,30 @@ def integrate_pulse_pallas(
 
     Returns (mx, my, mz), n_substeps, dt, failed - same semantics as
     PulseResult fields. Requires pallas_supported(...) conditions.
+
+    The +z-axis RHS specialization is resolved HERE, outside jit, where the
+    easy axis is still a concrete array; inside the jitted impl it would be
+    a tracer. Callers inside an outer jit get the general RHS (correct for
+    every axis, ~1.3x the deterministic VPU work).
     """
+    return _integrate_pulse_pallas(
+        m0, span, current, params, config, key, temperature,
+        easy_z=_is_plus_z(params.easy_axis),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "easy_z"))
+def _integrate_pulse_pallas(
+    m0: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    span: jnp.ndarray,
+    current: jnp.ndarray,
+    params: LLGSParams,
+    config: IntegratorConfig,
+    key: Optional[jax.Array] = None,
+    temperature: jnp.ndarray | float = 300.0,
+    *,
+    easy_z: bool = True,
+):
     mx0, my0, mz0 = m0
     B = mx0.shape[0]
     dtype = jnp.float32
@@ -286,24 +396,38 @@ def integrate_pulse_pallas(
     my0 = jnp.asarray(my0, dtype)[perm]
     mz0 = jnp.asarray(mz0, dtype)[perm]
 
-    # Broadcast per-env physics coefficients.
-    ms = jnp.broadcast_to(jnp.asarray(params.saturation_magnetization, dtype), (B,))
-    alpha = jnp.broadcast_to(jnp.asarray(params.damping, dtype), (B,))
-    k_u = jnp.broadcast_to(jnp.asarray(params.uniaxial_anisotropy, dtype), (B,))
-    vol = jnp.broadcast_to(jnp.asarray(params.volume, dtype), (B,))
-    pol = jnp.broadcast_to(jnp.asarray(params.polarization, dtype), (B,))
+    # Per-env physics coefficients ride through the SAME sort as the state:
+    # broadcast to (B,) then permute, so each env integrates with its own
+    # parameters (and stt below mixes only sorted arrays with the sorted
+    # current). With scalar params the gathers are a negligible (B,) shuffle.
+    def bcast_sorted(x):
+        return jnp.broadcast_to(jnp.asarray(x, dtype), (B,))[perm]
+
+    ms = bcast_sorted(params.saturation_magnetization)
+    alpha = bcast_sorted(params.damping)
+    k_u = bcast_sorted(params.uniaxial_anisotropy)
+    vol = bcast_sorted(params.volume)
+    pol = bcast_sorted(params.polarization)
     h_k = (2.0 * k_u) / (MU0 * ms)
     gamma_eff = GAMMA / (1.0 + alpha**2)
     stt = pol * current / (ms * vol)
     stt = jnp.where(jnp.abs(current) > 1e-12, stt, 0.0)
 
+    if not easy_z:
+        exn, eyn, ezn = params.normalized_easy_axis()
+        ex_s = bcast_sorted(exn)
+        ey_s = bcast_sorted(eyn)
+        ez_s = bcast_sorted(ezn)
+
     if config.thermal:
         if config.noise_mode not in ("reference", "physical"):
             raise ValueError(f"Unknown noise_mode: {config.noise_mode}")
-        temperature = jnp.broadcast_to(jnp.asarray(temperature, dtype), (B,))
+        temperature = bcast_sorted(temperature)
         denom = MU0 * ms * vol * GAMMA
         if config.noise_mode == "physical":
-            sigma = jnp.sqrt(2.0 * alpha * KB_SOLVER * temperature / (denom * dt))
+            # sigma ~ 1/sqrt(dt) must use the SORTED dt so each env's noise
+            # amplitude rides with its env through the sort.
+            sigma = jnp.sqrt(2.0 * alpha * KB_SOLVER * temperature / (denom * dt_s))
         else:
             sigma = jnp.sqrt(2.0 * alpha * KB_SOLVER * temperature / denom)
         sigma = jnp.where(temperature > 0.0, sigma, 0.0)
@@ -325,15 +449,16 @@ def integrate_pulse_pallas(
         flat = jnp.pad(x, (0, rows * LANES - B), constant_values=fill)
         return _pad_rows(flat.reshape(rows, LANES), rows_padded)
 
+    n_tiled = _pad_rows(
+        jnp.pad(n_s, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
+    )
     args = [
         to2d(jnp.asarray(mx0, dtype)),
         to2d(jnp.asarray(my0, dtype)),
         to2d(jnp.asarray(mz0, dtype), fill=1.0),
         to2d(current),
         to2d(dt_s, fill=1.0),
-        _pad_rows(
-            jnp.pad(n_s, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
-        ),
+        n_tiled,
         to2d(sigma),
         to2d(h_k),
         to2d(ms, fill=1.0),
@@ -341,13 +466,12 @@ def integrate_pulse_pallas(
         to2d(alpha),
         to2d(stt),
     ]
+    if not easy_z:
+        args += [to2d(ex_s), to2d(ey_s), to2d(ez_s, fill=1.0)]
 
     # Per-tile substep bound: envs are sorted by descending n, so each tile's
     # loop runs only to the max n within that tile (computed as a reduction so
     # it stays correct even if the sort is disabled).
-    n_tiled = _pad_rows(
-        jnp.pad(n_s, (0, rows * LANES - B)).reshape(rows, LANES), rows_padded
-    )
     tile_nmax = n_tiled.reshape(tiles, rows_per_tile * LANES).max(axis=1)
 
     block = (rows_per_tile, LANES)
@@ -361,7 +485,9 @@ def integrate_pulse_pallas(
         in_specs=[tensor_spec] * len(args),
         out_specs=[tensor_spec] * 4,
     )
-    kernel = functools.partial(_kernel, method=config.method, thermal=config.thermal)
+    kernel = functools.partial(
+        _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z
+    )
     ox, oy, oz, failed = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -1,9 +1,13 @@
 """Pallas kernel vs XLA integrator agreement (interpret mode on CPU)."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from spintorque_tpu.physics import IntegratorConfig, LLGSParams, integrate_pulse
 from spintorque_tpu.ops.pallas_integrator import (
@@ -32,12 +36,29 @@ def _setup(B=256, seed=0):
     return (m[:, 0], m[:, 1], m[:, 2]), spans, cur
 
 
+def _assert_close(pallas_out, ref):
+    (px, py, pz), n, dt, failed = pallas_out
+    np.testing.assert_allclose(np.asarray(px), np.asarray(ref.m[0]), rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(py), np.asarray(ref.m[1]), rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pz), np.asarray(ref.m[2]), rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref.n_substeps))
+    np.testing.assert_array_equal(np.asarray(failed), np.asarray(ref.failed))
+
+
 def test_pallas_supported_gate():
     cfg = IntegratorConfig(method="rk4")
     assert pallas_supported(PARAMS, cfg, jnp.float32)
     assert not pallas_supported(PARAMS, cfg, jnp.float64)
+    # Tilted / per-env axes are covered by the general-RHS kernel.
     tilted = PARAMS.replace(easy_axis=jnp.array([1.0, 0.0, 0.0], jnp.float32))
-    assert not pallas_supported(tilted, cfg, jnp.float32)
+    assert pallas_supported(tilted, cfg, jnp.float32)
+    per_env = PARAMS.replace(
+        easy_axis=jnp.tile(jnp.array([[0.6, 0.0, 0.8]], jnp.float32), (16, 1))
+    )
+    assert pallas_supported(per_env, cfg, jnp.float32)
+    # Degenerate axes are not.
+    bad = PARAMS.replace(easy_axis=jnp.zeros((3,), jnp.float32))
+    assert not pallas_supported(bad, cfg, jnp.float32)
     assert pallas_supported(PARAMS, IntegratorConfig(method="heun"), jnp.float32)
     assert not pallas_supported(
         PARAMS, IntegratorConfig(method="dop853"), jnp.float32
@@ -49,19 +70,116 @@ def test_pallas_matches_xla_deterministic(method):
     m0, spans, cur = _setup()
     cfg = IntegratorConfig(method=method, max_substeps=512)
     ref = integrate_pulse(m0, spans, cur, PARAMS.astype(jnp.float32), cfg)
-    with jax.disable_jit():  # pallas interpret path needs eager on CPU
-        pass
-    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        out = integrate_pulse_pallas(m0, spans, cur, PARAMS.astype(jnp.float32), cfg)
+    _assert_close(out, ref)
 
+
+def test_pallas_matches_xla_tilted_axis():
+    """General-RHS kernel: scalar tilted easy axis must match the XLA path."""
+    m0, spans, cur = _setup(B=128, seed=7)
+    tilted = PARAMS.replace(
+        easy_axis=jnp.array([0.6, 0.0, 0.8], jnp.float32)
+    ).astype(jnp.float32)
+    cfg = IntegratorConfig(method="rk4", max_substeps=256)
+    ref = integrate_pulse(m0, spans, cur, tilted, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        out = integrate_pulse_pallas(m0, spans, cur, tilted, cfg)
+    _assert_close(out, ref)
+
+
+def test_pallas_per_env_params_with_heterogeneous_spans():
+    """Pins the sort-alignment contract: per-env (B,) physics params and
+    per-env (B, 3) easy axes must ride through the descending-n sort with
+    their env. Spans vary (non-identity permutation) and params vary
+    per-env, so any missed permute shows up as a large mismatch.
+    (Advisor round-1 high-severity findings #1/#2.)"""
+    B = 192
+    m0, spans, cur = _setup(B=B, seed=11)
+    key = jax.random.PRNGKey(99)
+    axes = jax.random.normal(key, (B, 3), jnp.float32)
+    axes = axes / jnp.linalg.norm(axes, axis=-1, keepdims=True)
+    params = LLGSParams(
+        saturation_magnetization=jax.random.uniform(
+            jax.random.fold_in(key, 1), (B,), jnp.float32, 4e5, 1.2e6),
+        damping=jax.random.uniform(
+            jax.random.fold_in(key, 2), (B,), jnp.float32, 0.005, 0.05),
+        uniaxial_anisotropy=jax.random.uniform(
+            jax.random.fold_in(key, 3), (B,), jnp.float32, 3e5, 2e6),
+        volume=jax.random.uniform(
+            jax.random.fold_in(key, 4), (B,), jnp.float32, 5e-24, 5e-23),
+        polarization=jax.random.uniform(
+            jax.random.fold_in(key, 5), (B,), jnp.float32, 0.3, 0.9),
+        easy_axis=axes,
+    )
+    cfg = IntegratorConfig(method="rk4", max_substeps=512)
+    ref = integrate_pulse(m0, spans, cur, params, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        out = integrate_pulse_pallas(m0, spans, cur, params, cfg)
+    _assert_close(out, ref)
+
+
+@pytest.fixture
+def threefry_bits(monkeypatch):
+    """Substitute the kernel's raw-bits source with a threefry stream.
+
+    pltpu.prng_random_bits returns all zeros under interpret mode on CPU, so
+    the hardware PRNG itself can only be validated on a TPU
+    (scripts/verify_pallas_thermal.py). Everything downstream of the bits —
+    the signed-int32 mantissa-bitcast uniforms, Box-Muller, sigma scaling,
+    sort alignment — is exercised here on real random bits. A Python-side
+    trace-time counter gives each call site a distinct key (inside fori_loop
+    bodies the stream repeats per iteration, which is fine for these checks).
+    """
+    from spintorque_tpu.ops import pallas_integrator as pi
+
+    counter = {"n": 0}
+
+    def fake_bits(shape):
+        counter["n"] += 1
+        key = jax.random.PRNGKey(counter["n"])
+        bits = jax.random.bits(key, shape, jnp.uint32)
+        return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+    monkeypatch.setattr(pi, "_prng_random_bits", fake_bits)
+    jax.clear_caches()  # drop jitted traces captured with the real source
+    yield
+    jax.clear_caches()
+
+
+def test_pallas_thermal_sigma_rides_the_sort(threefry_bits):
+    """Half the envs run at T=0 (exactly deterministic), half at T=500 K.
+    Spans are laid out ASCENDING so the descending-n sort reverses the batch;
+    if the temperature/sigma arrays were not permuted with the state, the
+    wrong envs would receive noise. The T=0 half must match the
+    deterministic XLA result bitwise-ish; the T=500 half must differ."""
+    B = 128
+    key = jax.random.PRNGKey(5)
+    m = jax.random.normal(key, (B, 3), jnp.float32)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m0 = (m[:, 0], m[:, 1], m[:, 2])
+    spans = jnp.linspace(5e-11, 3e-10, B).astype(jnp.float32)  # ascending
+    cur = jnp.full((B,), 150.0, jnp.float32)
+    temp = jnp.where(jnp.arange(B) % 2 == 0, 0.0, 500.0).astype(jnp.float32)
+
+    det_cfg = IntegratorConfig(method="heun", max_substeps=512)
+    ref = integrate_pulse(m0, spans, cur, PARAMS.astype(jnp.float32), det_cfg)
+
+    thermal_cfg = IntegratorConfig(
+        method="heun", max_substeps=512, thermal=True, noise_mode="physical"
+    )
     with pltpu.force_tpu_interpret_mode():
         (px, py, pz), n, dt, failed = integrate_pulse_pallas(
-            m0, spans, cur, PARAMS.astype(jnp.float32), cfg
+            m0, spans, cur, PARAMS.astype(jnp.float32), thermal_cfg,
+            key=jax.random.PRNGKey(42), temperature=temp,
         )
-    np.testing.assert_allclose(np.asarray(px), np.asarray(ref.m[0]), rtol=2e-6, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(py), np.asarray(ref.m[1]), rtol=2e-6, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(pz), np.asarray(ref.m[2]), rtol=2e-6, atol=2e-6)
-    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref.n_substeps))
-    np.testing.assert_array_equal(np.asarray(failed), np.asarray(ref.failed))
+    cold = np.arange(B) % 2 == 0
+    np.testing.assert_allclose(
+        np.asarray(px)[cold], np.asarray(ref.m[0])[cold], rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(pz)[cold], np.asarray(ref.m[2])[cold], rtol=2e-6, atol=2e-6)
+    hot_diff = np.abs(np.asarray(pz)[~cold] - np.asarray(ref.m[2])[~cold])
+    assert hot_diff.max() > 1e-5, "T=500K envs produced no thermal deviation"
 
 
 def test_pallas_freeze_flag_matches():
@@ -76,11 +194,53 @@ def test_pallas_freeze_flag_matches():
     cfg = IntegratorConfig(method="rk4", max_substeps=128)
     ref = integrate_pulse((m[:, 0], m[:, 1], m[:, 2]), spans, cur,
                           PARAMS.astype(jnp.float32), cfg)
-    from jax.experimental.pallas import tpu as pltpu
-
     with pltpu.force_tpu_interpret_mode():
         (px, py, pz), n, dt, failed = integrate_pulse_pallas(
             (m[:, 0], m[:, 1], m[:, 2]), spans, cur, PARAMS.astype(jnp.float32), cfg
         )
     np.testing.assert_array_equal(np.asarray(failed), np.asarray(ref.failed))
     np.testing.assert_allclose(np.asarray(px), np.asarray(ref.m[0]), rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_noise_statistics(threefry_bits):
+    """CI-runnable statistical validation of the kernel's Box-Muller path
+    (VERDICT round-1 weak #3): draws through the same _normal_pair_from_bits
+    the thermal kernel uses — signed-int32 bits -> mantissa-bitcast uniform
+    -> Box-Muller — in interpret mode, and checks moments + a KS test
+    against the standard normal. Fails if the mantissa masking or the
+    transform regresses (e.g. the signed-bits NaN bug the docstring warns
+    about). The raw hardware bits themselves are validated on-TPU by
+    scripts/verify_pallas_thermal.py."""
+    from scipy import stats
+
+    from spintorque_tpu.ops import pallas_integrator as pi
+
+    rows, lanes = 64, 128
+
+    def kern(a_ref, b_ref):
+        a, b = pi._normal_pair_from_bits((rows, lanes))
+        a_ref[:] = a
+        b_ref[:] = b
+
+    with pltpu.force_tpu_interpret_mode():
+        a, b = pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            ],
+        )()
+    samples = np.concatenate([np.asarray(a).ravel(), np.asarray(b).ravel()])
+    n = samples.size  # 16384
+    assert np.all(np.isfinite(samples)), "non-finite normals from Box-Muller"
+    # Moments: mean ~ N(0, 1/n), std err of std ~ 1/sqrt(2n), |skew| small.
+    assert abs(samples.mean()) < 5.0 / math.sqrt(n)
+    assert abs(samples.std() - 1.0) < 5.0 / math.sqrt(2 * n)
+    assert abs(stats.skew(samples)) < 0.12
+    assert abs(stats.kurtosis(samples)) < 0.25
+    # Distribution-level check: KS against N(0,1).
+    ks = stats.kstest(samples, "norm")
+    assert ks.pvalue > 1e-4, f"KS test rejects normality: {ks}"
+    # cos/sin halves of the same transform must be uncorrelated.
+    corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1]
+    assert abs(corr) < 0.05
