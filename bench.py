@@ -13,16 +13,16 @@ Baseline: the reference's measured 1.802 s/step single env on CPU
 """
 
 import json
-import os
 import time
 
 import jax
 
-# Persistent compilation cache: the fused env-step program is expensive to
-# compile through remote-compile tunnels; cache it across processes.
-os.makedirs("/tmp/spintorque_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/spintorque_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: deliberately NO jax_compilation_cache_dir here. Enabling the
+# persistent compilation cache makes the compiled step program ~3.4x slower
+# on this TPU generation (21.7 ms vs 6.3 ms per 4096-env step, measured with
+# a fresh empty cache dir - it is the config, not stale artifacts; the
+# serializable-executable path pessimizes the Pallas kernel). Compile time
+# (~30 s once) is an acceptable price for a 3.4x faster measured program.
 
 import jax.numpy as jnp
 
@@ -54,14 +54,23 @@ def main():
             state, ts = env._step_impl(state, action)
             return (state, ts.obs), ts.reward.mean()
         keys = jax.random.split(key, n)
-        (state, obs), rewards = jax.lax.scan(body, (state, obs), keys)
+        # unroll=2: a rolled XLA While around the Pallas pulse kernel with a
+        # data-dependent scalar-prefetch trip bound runs ~4x slower on this
+        # TPU generation (22 ms vs 6 ms per 4096-env step); any unrolling
+        # restores full speed.
+        (state, obs), rewards = jax.lax.scan(body, (state, obs), keys, unroll=2)
         return state, obs, rewards.mean()
 
-    # Warmup / compile.
-    state, obs, _ = step_n(state, obs, key)
+    # Warmup: compile, then run until steady state. The first ~10 executions
+    # of a fresh executable run ~3.5x slower on tunneled TPU runtimes (program
+    # residency warmup); measuring them would understate throughput by 3x+.
+    n_inner = 8
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        state, obs, _ = step_n(state, obs, sub)
     jax.block_until_ready(obs)
 
-    n_iters, n_inner = 8, 8
+    n_iters = 8
     t0 = time.perf_counter()
     for i in range(n_iters):
         key, sub = jax.random.split(key)

@@ -199,7 +199,8 @@ def _cmd_benchmark(args) -> int:
             state, ts = env._step_impl(state, policy(None, obs, k))
             return (state, ts.obs), ts.reward.mean()
         keys = jax.random.split(key, args.inner)
-        (state, obs), r = jax.lax.scan(body, (state, obs), keys)
+        # unroll=2 avoids the rolled-While Pallas slowdown (docs/PERFORMANCE.md)
+        (state, obs), r = jax.lax.scan(body, (state, obs), keys, unroll=2)
         return state, obs, r.mean()
 
     state, obs, _ = step_n(state, obs, key)

@@ -70,7 +70,9 @@ def rollout(
         return (next_state, ts.obs), record
 
     keys = jax.random.split(key, num_steps)
-    (state, obs), traj = jax.lax.scan(step_fn, (state, obs), keys)
+    # unroll=2: a rolled While around the Pallas pulse kernel with a dynamic
+    # scalar-prefetch trip bound is ~4x slower on TPU; see docs/PERFORMANCE.md.
+    (state, obs), traj = jax.lax.scan(step_fn, (state, obs), keys, unroll=2)
     return state, obs, traj
 
 

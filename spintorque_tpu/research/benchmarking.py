@@ -105,7 +105,7 @@ def _throughput_scenario(batch_size: int, thermal: bool, steps: int = 32):
                 s, ts = env._step_impl(s, policy(None, o, k))
                 return (s, ts.obs), None
             (state, obs), _ = jax.lax.scan(
-                body, (state, obs), jax.random.split(key, steps)
+                body, (state, obs), jax.random.split(key, steps), unroll=2
             )
             return state, obs
 

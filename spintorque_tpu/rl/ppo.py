@@ -174,8 +174,11 @@ class PPOTrainer:
 
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
         step_keys = jax.random.split(k_roll, cfg.rollout_steps)
+        # unroll=2: a rolled XLA While around the Pallas pulse kernel with a
+        # data-dependent scalar-prefetch trip bound runs ~4x slower on TPU
+        # (measured 22 ms vs 6 ms per 4096-env step); any unrolling avoids it.
         (env_state, obs), traj = jax.lax.scan(
-            rollout_step, (ts.env_state, ts.obs), step_keys
+            rollout_step, (ts.env_state, ts.obs), step_keys, unroll=2
         )
 
         # Bootstrap value for the final observation.
