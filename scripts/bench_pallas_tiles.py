@@ -47,7 +47,10 @@ def setup(seed=0):
 
 
 def timed(fn, iters=20):
-    out = fn()
+    # Warm to steady state: the first ~10 executions of a fresh executable
+    # run ~3.5x slower on tunneled TPU runtimes.
+    for _ in range(12):
+        out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -66,7 +69,7 @@ def main():
         )
         key = jax.random.PRNGKey(7) if thermal else None
         for tile_rows in (32, 16, 8):
-            pi.ROWS_PER_TILE = tile_rows
+            pi._TILE_ROWS_OVERRIDE = tile_rows
             jax.clear_caches()
             dt = timed(
                 lambda: pi.integrate_pulse_pallas(

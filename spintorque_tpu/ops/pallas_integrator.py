@@ -40,7 +40,9 @@ from ..physics.integrator import IntegratorConfig, substep_counts
 from ..physics.llgs import LLGSParams
 
 LANES = 128
-ROWS_PER_TILE = 64  # 8192 envs per grid program
+# Tuning knob for scripts/bench_pallas_tiles.py; None = per-config default
+# chosen inside _integrate_pulse_pallas (8 rows thermal, 16 deterministic).
+_TILE_ROWS_OVERRIDE: Optional[int] = None
 
 _N_STAGES = {"euler": 1, "heun": 2, "rk4": 4}
 
@@ -437,11 +439,17 @@ def _integrate_pulse_pallas(
         seed = jnp.int32(0)
 
     # Reshape (B,) -> (rows, 128), padded to a multiple of the tile rows.
-    # Tile height adapts downward so small batches do not pad to wasted
-    # compute (TPU v5e has a single TensorCore: grid tiles serialize, so
-    # there is no parallelism reason to force large tiles).
+    # Tile height trades per-iteration VPU width against duration bucketing:
+    # grid tiles serialize on the single TensorCore and each runs only to its
+    # OWN max substep count, so narrower tiles turn the sorted batch into
+    # finer duration buckets (sum-of-tile-maxes -> sum(n)). Measured on v5e
+    # at B=4096, uniform 0-5 ns durations: thermal is noise-throughput-bound
+    # and 8-row tiles win (6.7 -> 5.5 ms); the deterministic loop is
+    # dependency-latency-bound and 16-row tiles win (2.9 -> 2.7 ms). Height
+    # still adapts downward so small batches do not pad to wasted compute.
     rows = -(-B // LANES)
-    rows_per_tile = min(ROWS_PER_TILE, max(8, -(-rows // 8) * 8))
+    pref_rows = _TILE_ROWS_OVERRIDE or (8 if config.thermal else 16)
+    rows_per_tile = min(pref_rows, max(8, -(-rows // 8) * 8))
     tiles = -(-rows // rows_per_tile)
     rows_padded = tiles * rows_per_tile
 
