@@ -3,6 +3,11 @@
 Run: python examples/optimize_pulse.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 
 from spintorque_tpu.physics import LLGSParams

@@ -3,6 +3,11 @@
 Run: python examples/quickstart_gymnasium.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import gymnasium as gym
 import numpy as np
 

@@ -52,6 +52,43 @@ def test_ppo_trainer_improves_or_at_least_runs():
     assert int(ts.update_count) == 3
 
 
+def test_ppo_actually_learns_switching():
+    """The flagship claim: the native PPO trainer learns to switch devices.
+
+    Config: deterministic easy-switching regime (polarization=1e-12,
+    damping=0.1 makes the simplified STT term comparable to precession, so
+    the CURRENT SIGN deterministically selects the final pole: J<0 -> +z,
+    J>0 -> -z within one 0.1 ns pulse). The optimal policy is target-sign
+    readout; a random/initial policy succeeds ~25-50% of steps. PPO must
+    reach >=90% rollout success within 30 updates (measured: ~0.98 by
+    update 10, 4 s wall on CPU). Fails if learning regresses.
+    """
+    cfg = SpinTorqueEnvConfig(
+        include_thermal=False, max_duration=1e-10, max_steps=4,
+        dtype="float32",
+    )
+    env = SpinTorqueEnv(
+        batch_size=64, config=cfg,
+        device_params={"polarization": 1e-12, "damping": 0.1},
+    )
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(rollout_steps=8, num_epochs=4, num_minibatches=4,
+                  hidden_sizes=(64, 64), learning_rate=1e-3, ent_coef=0.01),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0))
+    rates = []
+    for _ in range(30):
+        ts, metrics = trainer.train_step(ts)
+        rates.append(float(metrics["success_rate"]))
+    baseline = np.mean(rates[:3])  # near-random initial policy
+    trained = np.mean(rates[-5:])
+    assert trained >= 0.9, f"PPO failed to learn: final success {trained:.3f}"
+    assert trained - baseline >= 0.3, (
+        f"no improvement over initial policy: {baseline:.3f} -> {trained:.3f}"
+    )
+
+
 def test_ppo_discrete_mode():
     env = make_env(batch=16, action_mode="discrete", max_steps=8)
     trainer = PPOTrainer(
