@@ -116,11 +116,15 @@ def _train_sb3(args, c) -> int:
         return 1
     import spintorque_tpu  # noqa: F401  (registers env ids)
 
-    env = gym.make(args.env or "SpinTorque-v0")
-    algo = {"ppo": sb3.PPO, "sac": sb3.SAC, "td3": sb3.TD3}.get(args.algorithm)
+    algo = {"ppo": sb3.PPO, "sac": sb3.SAC, "td3": sb3.TD3,
+            "dqn": sb3.DQN}.get(args.algorithm)
     if algo is None:
         print(f"Unknown sb3 algorithm {args.algorithm}", file=sys.stderr)
         return 1
+    # DQN needs a discrete action space (reference cli.py:257-277 wires DQN
+    # but its discrete mode is broken; ours works - see envs/gym_adapter.py).
+    kwargs = {"action_mode": "discrete"} if args.algorithm == "dqn" else {}
+    env = gym.make(args.env or "SpinTorque-v0", **kwargs)
     model = algo("MlpPolicy", env, verbose=1)
     t0 = time.time()
     model.learn(total_timesteps=c.training.total_timesteps)

@@ -30,8 +30,10 @@ from .resistance import (
     sot_switching_time,
     sot_torque_factors,
     vcma_effective_anisotropy,
+    vcma_leakage_current,
     vcma_pulse_energy,
     vcma_switching_probability,
+    vcma_switching_time,
 )
 
 __all__ = [
@@ -52,8 +54,10 @@ __all__ = [
     "sot_switching_time",
     "sot_torque_factors",
     "vcma_effective_anisotropy",
+    "vcma_leakage_current",
     "vcma_pulse_energy",
     "vcma_switching_probability",
+    "vcma_switching_time",
     "exchange_length",
     "magnus_coefficient",
     "skyrmion_energy",

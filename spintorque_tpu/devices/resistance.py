@@ -82,6 +82,34 @@ def vcma_pulse_energy(voltage, duration, params: DeviceParams):
     return jnp.where(jnp.abs(voltage) > 1e-12, e, 0.0)
 
 
+def vcma_leakage_current(voltage, params: DeviceParams):
+    """Dielectric leakage current: ohmic plus simplified Fowler-Nordheim
+    tunneling above 1e8 V/m (vcma_mram.py:480-504).
+
+    I = V / R_leak + [E > 1e8] * 1e-6 * E * exp(-3.5e9 / E) * A
+    with E = |V| / t_dielectric. Branch-free: the tunneling term is masked
+    with jnp.where and the exponent argument clamped so the inactive branch
+    never produces inf/NaN under jit.
+    """
+    ohmic = voltage / params.leakage_resistance
+    field = jnp.abs(voltage) / params.dielectric_thickness
+    safe_field = jnp.maximum(field, 1.0)
+    tunneling = 1e-6 * field * jnp.exp(-3.5e9 / safe_field) * params.area
+    current = ohmic + jnp.where(field > 1e8, tunneling, 0.0)
+    return jnp.where(jnp.abs(voltage) > 1e-12, current, 0.0)
+
+
+def vcma_switching_time(voltage, params: DeviceParams, temperature=300.0):
+    """Arrhenius switching-time estimate at voltage-modified barrier
+    (vcma_mram.py:444-478): t = (1/f0) exp(E_b / kT) with f0 = 1 GHz;
+    1 ps when the barrier is eliminated, inf below 1 uV drive."""
+    k_eff = vcma_effective_anisotropy(voltage, params)
+    barrier = k_eff * params.volume
+    t = (1.0 / 1e9) * jnp.exp(barrier / (KB_SOLVER * temperature))
+    t = jnp.where(barrier <= 0.0, 1e-12, t)
+    return jnp.where(jnp.abs(voltage) < 1e-6, jnp.inf, t)
+
+
 def vcma_switching_probability(voltage, duration, params: DeviceParams, temperature=300.0):
     """Arrhenius switching with voltage-lowered barrier (vcma_mram.py:187-234)."""
     k_eff = vcma_effective_anisotropy(voltage, params)

@@ -9,6 +9,7 @@ from .mesh import (
     env_sharding,
     local_batch_size,
     make_mesh,
+    pmean_metrics,
     replicated,
     shard_batch,
     shard_env_state,
@@ -25,6 +26,7 @@ __all__ = [
     "shard_batch",
     "shard_env_state",
     "local_batch_size",
+    "pmean_metrics",
     "Trajectory",
     "random_policy",
     "rollout",

@@ -76,13 +76,20 @@ def shard_batch(x, mesh: Mesh):
 
 
 def pmean_metrics(tree, mesh: Mesh):
-    """Mean-reduce metric arrays across the whole mesh (host-callable)."""
+    """Mean-reduce each metric leaf to a scalar replicated across the mesh.
+
+    Host-callable: leaves may be batch-sharded over 'data' (the usual case
+    for per-env metrics) or replicated; either way the result is the global
+    mean, computed on-device with XLA-inserted all-reduce collectives and
+    placed replicated so every chip (and the host) sees the same scalar.
+    """
     import jax.numpy as jnp
 
-    def reduce_one(x):
-        return jnp.mean(x)
-
-    return jax.tree.map(reduce_one, tree)
+    reduce_all = jax.jit(
+        lambda t: jax.tree.map(jnp.mean, t),
+        out_shardings=replicated(mesh),
+    )
+    return reduce_all(tree)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

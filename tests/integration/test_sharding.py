@@ -106,6 +106,23 @@ def test_sharded_vs_single_device_identical():
     np.testing.assert_array_equal(np.asarray(t1.reward), np.asarray(t2.reward))
 
 
+def test_pmean_metrics_reduces_across_mesh():
+    """pmean_metrics: batch-sharded leaves reduce to the GLOBAL mean and the
+    result is replicated on every mesh device."""
+    from spintorque_tpu.parallel import pmean_metrics
+
+    mesh = make_mesh()
+    x = jnp.arange(64, dtype=jnp.float32)        # mean = 31.5
+    y = jnp.ones((32, 3), jnp.float32) * 2.0     # mean = 2.0
+    tree = {"reward": shard_batch(x, mesh), "m": shard_batch(y, mesh)}
+    out = pmean_metrics(tree, mesh)
+    assert float(out["reward"]) == pytest.approx(31.5)
+    assert float(out["m"]) == pytest.approx(2.0)
+    # replicated output: every device holds the scalar
+    assert len(out["reward"].sharding.device_set) == 8
+    assert out["reward"].sharding.is_fully_replicated
+
+
 def test_tp_sharded_ppo_gradients_flow():
     from spintorque_tpu.rl import PPOConfig, PPOTrainer
 

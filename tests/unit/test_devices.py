@@ -19,8 +19,10 @@ from spintorque_tpu.devices import (
     sot_spin_torques,
     sot_switching_threshold,
     vcma_effective_anisotropy,
+    vcma_leakage_current,
     vcma_pulse_energy,
     vcma_switching_probability,
+    vcma_switching_time,
 )
 from spintorque_tpu.constants import MU0
 
@@ -85,6 +87,40 @@ def test_vcma_analytics():
     prob_low = float(vcma_switching_probability(0.0, 1e-9, p))
     prob_high = float(vcma_switching_probability(2.0, 1e-9, p))
     assert prob_high >= prob_low
+
+
+def test_vcma_leakage_current_fowler_nordheim():
+    p = make_device_params("vcma_mram")
+    t_diel = float(np.asarray(p.dielectric_thickness))
+    # zero below the 1e-12 V gate
+    assert float(vcma_leakage_current(0.0, p)) == 0.0
+    # low field (< 1e8 V/m): pure ohmic V / R_leak
+    v_low = 0.05 * 1e8 * t_diel
+    i_low = float(vcma_leakage_current(v_low, p))
+    assert np.isclose(i_low, v_low / float(np.asarray(p.leakage_resistance)))
+    # high field (> 1e8 V/m): FN tunneling adds on top of ohmic
+    v_high = 10.0 * 1e8 * t_diel
+    i_high = float(vcma_leakage_current(v_high, p))
+    ohmic_high = v_high / float(np.asarray(p.leakage_resistance))
+    field = v_high / t_diel
+    fn = 1e-6 * field * np.exp(-3.5e9 / field) * float(np.asarray(p.area))
+    assert np.isclose(i_high, ohmic_high + fn, rtol=1e-6)
+    assert i_high > ohmic_high
+    # finite (no NaN/inf from the masked branch) and batched
+    batch = vcma_leakage_current(jnp.asarray([0.0, v_low, v_high]), p)
+    assert np.all(np.isfinite(np.asarray(batch)))
+
+
+def test_vcma_switching_time_monotone():
+    p = make_device_params("vcma_mram")
+    assert float(vcma_switching_time(0.0, p)) == np.inf
+    t_lo = float(vcma_switching_time(0.5, p))
+    t_hi = float(vcma_switching_time(2.0, p))
+    # higher voltage lowers the barrier => faster switching
+    assert t_hi <= t_lo
+    # barrier eliminated => picosecond-scale floor
+    t_elim = float(vcma_switching_time(100.0, p))
+    assert t_elim == pytest.approx(1e-12, rel=1e-5)  # barrier gone => ps floor
 
 
 def test_skyrmion_analytics():
