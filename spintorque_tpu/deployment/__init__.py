@@ -7,6 +7,18 @@ deployment helpers: pod-slice launch manifests, serving health endpoints,
 and compliance/audit record keeping.
 """
 
+from .compliance import (
+    REGION_RULES,
+    REGIONS,
+    STANDARD_POLICY,
+    STANDARDS,
+    ComplianceFramework,
+    GlobalDeploymentManager,
+    ProcessingRecord,
+    RegionConfig,
+    production_readiness,
+    validate_region_config,
+)
 from .manager import (
     AuditRecord,
     ComplianceLog,
@@ -18,7 +30,17 @@ from .manager import (
 __all__ = [
     "AuditRecord",
     "ComplianceLog",
+    "ComplianceFramework",
     "DeploymentManager",
     "DeploymentSpec",
+    "GlobalDeploymentManager",
+    "ProcessingRecord",
+    "RegionConfig",
+    "REGIONS",
+    "REGION_RULES",
+    "STANDARDS",
+    "STANDARD_POLICY",
+    "production_readiness",
     "serving_health",
+    "validate_region_config",
 ]
