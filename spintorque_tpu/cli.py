@@ -246,6 +246,24 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .deployment import ServingEndpoint
+
+    ep = ServingEndpoint(
+        host=args.host,
+        port=args.port,
+        refresh_interval=args.refresh_interval,
+        run_device_checks=not args.no_device_checks,
+    )
+    print(f"serving health endpoint on {args.host}:{ep.port} "
+          f"(/healthz /readiness /metrics /info)")
+    try:
+        ep.serve_forever()
+    except KeyboardInterrupt:
+        ep.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="spintorque-tpu",
@@ -289,6 +307,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", default=None)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_config)
+
+    sp = sub.add_parser(
+        "serve", help="HTTP health/readiness/metrics endpoint"
+    )
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--refresh-interval", type=float, default=60.0)
+    sp.add_argument("--no-device-checks", action="store_true",
+                    help="skip device-touching health probes (CI/sidecar)")
+    sp.set_defaults(func=cmd_serve)
 
     return p
 

@@ -26,6 +26,7 @@ from .manager import (
     DeploymentSpec,
     serving_health,
 )
+from .server import HealthState, ServingEndpoint
 
 __all__ = [
     "AuditRecord",
@@ -43,4 +44,6 @@ __all__ = [
     "production_readiness",
     "serving_health",
     "validate_region_config",
+    "HealthState",
+    "ServingEndpoint",
 ]

@@ -270,6 +270,7 @@ class GymSpinTorqueEnv(gym.Env):
             "use_pallas": bool(cfg.use_pallas),
             "thermal": cfg.include_thermal,
             "noise_mode": cfg.noise_mode,
+            "rk4_noise": cfg.rk4_noise,
             "dtype": cfg.dtype,
         }
 
