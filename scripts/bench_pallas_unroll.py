@@ -1,0 +1,85 @@
+"""Microbench: in-kernel substep-loop unroll factor on real TPU.
+
+The deterministic pulse loop is latency-bound on the scf.for carried
+dependency chain (~1.2 us per substep-batch); unrolling the masked body
+trades loop-control overhead for ILP. Masked substeps are exact no-ops, so
+any unroll factor is numerically identical (tests/unit/test_pallas_unroll.py).
+
+Run: timeout 590 python scripts/bench_pallas_unroll.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from spintorque_tpu.physics import IntegratorConfig, LLGSParams
+from spintorque_tpu.ops import pallas_integrator as pi
+
+PARAMS = LLGSParams(
+    saturation_magnetization=800e3,
+    damping=0.01,
+    uniaxial_anisotropy=1.2e6,
+    volume=1e-23,
+    polarization=0.7,
+    easy_axis=jnp.array([0.0, 0.0, 1.0], jnp.float32),
+).astype(jnp.float32)
+
+B = 4096
+
+
+def setup(seed=0):
+    key = jax.random.PRNGKey(seed)
+    m = jax.random.normal(key, (B, 3), jnp.float32)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    spans = jax.random.uniform(
+        jax.random.fold_in(key, 1), (B,), jnp.float32, 1e-12, 5e-9
+    )
+    cur = jax.random.uniform(
+        jax.random.fold_in(key, 2), (B,), jnp.float32, -2e6, 0.0
+    )
+    return (m[:, 0], m[:, 1], m[:, 2]), spans, cur
+
+
+def timed(fn, iters=20):
+    for _ in range(12):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    m0, spans, cur = setup()
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    for thermal in (False, True):
+        cfg = IntegratorConfig(
+            method="rk4", max_substeps=5101, thermal=thermal,
+            noise_mode="reference",
+        )
+        key = jax.random.PRNGKey(7) if thermal else None
+        for unroll in (1, 2, 4):
+            pi._SUBSTEP_UNROLL_OVERRIDE = unroll
+            jax.clear_caches()  # override is read at trace time
+            dt = timed(
+                lambda: pi.integrate_pulse_pallas(
+                    m0, spans, cur, PARAMS, cfg, key=key
+                )
+            )
+            label = "thermal" if thermal else "determ "
+            print(
+                f"{label} unroll={unroll}  {dt * 1e3:8.3f} ms/pulse-batch"
+                f"  {B / dt:12.0f} env-pulses/s",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

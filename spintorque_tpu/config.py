@@ -24,6 +24,10 @@ class PhysicsConfig:
     max_substeps: int = 0  # 0 -> derived from max pulse duration
     include_thermal: bool = True
     noise_mode: str = "reference"  # 'reference' | 'physical'
+    # 'per_substep' (physically correct, default) | 'per_stage' (reference
+    # sampling; deflates per-substep field variance to 10/36 - see
+    # envs/spin_torque.py SpinTorqueEnvConfig.rk4_noise)
+    rk4_noise: str = "per_substep"
     temperature: float = 300.0
 
 
@@ -108,6 +112,7 @@ _ENV_MAPPINGS = {
     "SPIN_TORQUE_METHOD": ("physics", "method", str),
     "SPIN_TORQUE_INCLUDE_THERMAL": ("physics", "include_thermal", bool),
     "SPIN_TORQUE_NOISE_MODE": ("physics", "noise_mode", str),
+    "SPIN_TORQUE_RK4_NOISE": ("physics", "rk4_noise", str),
     "SPIN_TORQUE_LEARNING_RATE": ("training", "learning_rate", float),
     "SPIN_TORQUE_TOTAL_TIMESTEPS": ("training", "total_timesteps", int),
     "SPIN_TORQUE_SEED": ("training", "seed", int),
@@ -190,6 +195,8 @@ class ConfigManager:
             raise ValueError(f"Unknown integration method: {c.physics.method}")
         if c.physics.noise_mode not in ("reference", "physical"):
             raise ValueError(f"Unknown noise mode: {c.physics.noise_mode}")
+        if c.physics.rk4_noise not in ("per_stage", "per_substep"):
+            raise ValueError(f"Unknown rk4_noise: {c.physics.rk4_noise}")
         if c.compute.dtype not in ("float32", "float64", "bfloat16"):
             raise ValueError(f"Unsupported dtype: {c.compute.dtype}")
 
@@ -223,6 +230,7 @@ class ConfigManager:
             method=c.physics.method,
             max_substeps=c.physics.max_substeps,
             noise_mode=c.physics.noise_mode,
+            rk4_noise=c.physics.rk4_noise,
             autoreset=c.environment.autoreset,
             dtype=c.compute.dtype,
         )

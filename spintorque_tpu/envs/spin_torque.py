@@ -58,6 +58,17 @@ class SpinTorqueEnvConfig(NamedTuple):
     method: str = "rk4"
     max_substeps: int = 0  # 0 -> derived from max_duration
     noise_mode: str = "reference"
+    # RK4 thermal-field sampling. The env default is 'per_substep': one
+    # field realization held constant across the four stages — the standard
+    # SDE discretization (stochastic Heun already works this way) and ~26%
+    # faster on TPU. The reference instead draws fresh noise at every RHS
+    # evaluation, which deflates the effective per-substep field variance to
+    # 10/36 (the squared RK4 weights average the iid draws) — a physics bug
+    # we deliberately do NOT replicate by default, like the broken discrete
+    # mode (docs/REFERENCE_PARITY.md). Set 'per_stage' to reproduce the
+    # reference's sampling exactly; the library-level IntegratorConfig
+    # default remains 'per_stage' for parity work.
+    rk4_noise: str = "per_substep"
     autoreset: bool = True
     dtype: str = "float32"
     # None = auto: enabled on TPU backends when the kernel's specializations
@@ -81,6 +92,7 @@ class SpinTorqueEnvConfig(NamedTuple):
             thermal=self.include_thermal,
             noise_mode=self.noise_mode,
             use_pallas=self.use_pallas,
+            rk4_noise=self.rk4_noise,
         )
 
 

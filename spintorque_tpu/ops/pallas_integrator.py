@@ -43,6 +43,10 @@ LANES = 128
 # Tuning knob for scripts/bench_pallas_tiles.py; None = per-config default
 # chosen inside _integrate_pulse_pallas (8 rows thermal, 16 deterministic).
 _TILE_ROWS_OVERRIDE: Optional[int] = None
+# In-kernel substep-loop unroll factor (scripts/bench_pallas_unroll.py);
+# None = per-config default inside _integrate_pulse_pallas. Masked substeps
+# are no-ops, so running ceil(nmax/u) iterations of u body copies is exact.
+_SUBSTEP_UNROLL_OVERRIDE: Optional[int] = None
 
 _N_STAGES = {"euler": 1, "heun": 2, "rk4": 4}
 
@@ -188,6 +192,8 @@ def _kernel(
     method: str,
     thermal: bool,
     easy_z: bool,
+    rk4_per_substep: bool,
+    unroll: int,
 ):
     if easy_z:
         (mx_ref, my_ref, mz_ref,
@@ -291,7 +297,15 @@ def _kernel(
                 my + 0.5 * dt * (fy + gy),
                 mz + 0.5 * dt * (fz + gz),
             )
-        stage = _noise_stages(sigma, shape, 4) if thermal else [zero_noise] * 4
+        if not thermal:
+            stage = [zero_noise] * 4
+        elif rk4_per_substep:
+            # One field realization across all four stages (IntegratorConfig
+            # .rk4_noise='per_substep'): 2 Box-Muller transforms per substep
+            # instead of 6 - the transcendentals dominate thermal cost.
+            stage = [_noise3(sigma, shape)] * 4
+        else:
+            stage = _noise_stages(sigma, shape, 4)
         k1x, k1y, k1z = rhs_with_noise(mx, my, mz, stage[0])
         k1x, k1y, k1z = dt * k1x, dt * k1y, dt * k1z
         k2x, k2y, k2z = rhs_with_noise(mx + k1x / 2, my + k1y / 2, mz + k1z / 2, stage[1])
@@ -322,7 +336,25 @@ def _kernel(
         )
 
     failed0 = jnp.zeros(shape, jnp.int32)
-    mx, my, mz, failed = jax.lax.fori_loop(0, nmax, body, (mx0, my0, mz0, failed0))
+    if unroll <= 1:
+        mx, my, mz, failed = jax.lax.fori_loop(
+            0, nmax, body, (mx0, my0, mz0, failed0)
+        )
+    else:
+        # Unrolled masked loop: each trip runs ``unroll`` body copies; the
+        # per-env ``i < n`` masks make overshoot iterations exact no-ops
+        # (the thermal PRNG stream advances, which is fine - the kernel
+        # stream is self-defined). Trades scf.for control overhead for
+        # instruction-level parallelism in the latency-bound body.
+        def body_u(j, carry):
+            for k in range(unroll):
+                carry = body(j * unroll + k, carry)
+            return carry
+
+        trips = (nmax + unroll - 1) // unroll
+        mx, my, mz, failed = jax.lax.fori_loop(
+            0, trips, body_u, (mx0, my0, mz0, failed0)
+        )
     ox_ref[:] = mx
     oy_ref[:] = my
     oz_ref[:] = mz
@@ -424,6 +456,8 @@ def _integrate_pulse_pallas(
     if config.thermal:
         if config.noise_mode not in ("reference", "physical"):
             raise ValueError(f"Unknown noise_mode: {config.noise_mode}")
+        if config.rk4_noise not in ("per_stage", "per_substep"):
+            raise ValueError(f"Unknown rk4_noise: {config.rk4_noise}")
         temperature = bcast_sorted(temperature)
         denom = MU0 * ms * vol * GAMMA
         if config.noise_mode == "physical":
@@ -494,7 +528,9 @@ def _integrate_pulse_pallas(
         out_specs=[tensor_spec] * 4,
     )
     kernel = functools.partial(
-        _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z
+        _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
+        rk4_per_substep=(config.rk4_noise == "per_substep"),
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or 1,
     )
     ox, oy, oz, failed = pl.pallas_call(
         kernel,

@@ -53,6 +53,17 @@ class IntegratorConfig(NamedTuple):
     thermal: bool = False
     noise_mode: str = "reference"  # 'reference' | 'physical'
     use_pallas: bool = False  # fast VMEM-resident kernel (ops/pallas_integrator)
+    # RK4 thermal-field sampling:
+    #   'per_stage'   - fresh iid field at every RHS evaluation, mirroring the
+    #                   reference (simple_solver.py draws inside each call).
+    #                   Physically this deflates the effective per-substep
+    #                   noise variance to 10/36 (the squared RK4 weights),
+    #                   since the four iid draws average.
+    #   'per_substep' - ONE field realization held constant across the four
+    #                   stages (the standard SDE treatment; stochastic Heun
+    #                   already works this way) - and 4x less sampling work,
+    #                   which dominates the thermal hot loop on TPU.
+    rk4_noise: str = "per_stage"
 
 
 def max_substeps_for(max_duration: float, max_step: float = 1e-12) -> int:
@@ -141,9 +152,14 @@ def _substep(m, dt, current, params, config: IntegratorConfig, sigma, key, i):
     n_stages = _N_STAGES[config.method]
 
     if sigma is not None:
-        noise = _stage_noise(key, i, n_stages, shape, dtype)
-        stage = [(sigma * noise[s, 0], sigma * noise[s, 1], sigma * noise[s, 2])
-                 for s in range(n_stages)]
+        if config.rk4_noise not in ("per_stage", "per_substep"):
+            raise ValueError(f"Unknown rk4_noise: {config.rk4_noise}")
+        n_draw = 1 if config.rk4_noise == "per_substep" else n_stages
+        noise = _stage_noise(key, i, n_draw, shape, dtype)
+        stage = [
+            (sigma * noise[d, 0], sigma * noise[d, 1], sigma * noise[d, 2])
+            for d in (min(s, n_draw - 1) for s in range(n_stages))
+        ]
     else:
         stage = [(0.0, 0.0, 0.0)] * n_stages
 
