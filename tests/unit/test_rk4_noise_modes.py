@@ -151,3 +151,21 @@ def test_pallas_per_substep_cold_envs_match(threefry_bits):
                                rtol=2e-6, atol=2e-6)
     hot_diff = np.abs(np.asarray(pz)[~cold] - np.asarray(det.m[2])[~cold])
     assert hot_diff.max() > 1e-5
+
+
+def test_env_default_is_per_substep_library_default_is_per_stage():
+    """Defaults contract: env tier uses the physically-correct sampling
+    (docs/REFERENCE_PARITY.md); the library IntegratorConfig keeps the
+    reference-parity default for solver-level work."""
+    from spintorque_tpu.envs import SpinTorqueEnvConfig
+
+    env_cfg = SpinTorqueEnvConfig()
+    assert env_cfg.rk4_noise == "per_substep"
+    assert env_cfg.integrator().rk4_noise == "per_substep"
+    assert IntegratorConfig().rk4_noise == "per_stage"
+
+    import gymnasium as gym
+    import spintorque_tpu  # noqa: F401
+
+    env = gym.make("SpinTorque-v0")
+    assert env.unwrapped.get_solver_info()["rk4_noise"] == "per_substep"
