@@ -11,9 +11,15 @@ from __future__ import annotations
 _REGISTERED = False
 
 
-def register_envs() -> None:
+def register_envs(force: bool = False) -> None:
+    """Register the env ids.
+
+    ``force=True`` re-registers even when the ids already exist — needed when
+    another package (e.g. the reference ``spin_torque_gym``) has overridden
+    the same ids in gymnasium's process-global registry after our import.
+    """
     global _REGISTERED
-    if _REGISTERED:
+    if _REGISTERED and not force:
         return
     from gymnasium.envs.registration import register, registry
 
@@ -38,8 +44,13 @@ def register_envs() -> None:
         ),
     ]
     for env_id, entry_point, max_steps, kwargs in specs:
-        if env_id in registry:
-            continue
+        existing = registry.get(env_id)
+        if existing is not None:
+            entry = getattr(existing, "entry_point", None)
+            ours = isinstance(entry, str) and entry.startswith("spintorque_tpu.")
+            if ours or not force:
+                continue
+            del registry[env_id]
         register(
             id=env_id,
             entry_point=entry_point,

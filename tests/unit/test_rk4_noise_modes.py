@@ -165,7 +165,10 @@ def test_env_default_is_per_substep_library_default_is_per_stage():
     assert IntegratorConfig().rk4_noise == "per_stage"
 
     import gymnasium as gym
-    import spintorque_tpu  # noqa: F401
+    from spintorque_tpu.registration import register_envs
 
+    # Parity tests import the reference package, which overrides the same ids
+    # in gymnasium's process-global registry; force ours back.
+    register_envs(force=True)
     env = gym.make("SpinTorque-v0")
     assert env.unwrapped.get_solver_info()["rk4_noise"] == "per_substep"
