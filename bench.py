@@ -32,7 +32,12 @@ REFERENCE_STEPS_PER_S = 1.0 / 1.802  # reference quality-gate measurement
 def main():
     from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
     from spintorque_tpu.ops.pallas_integrator import tpu_kernel_available
-    from spintorque_tpu.parallel import random_policy
+    from spintorque_tpu.parallel import (
+        make_mesh,
+        random_policy,
+        shard_batch,
+        shard_env_state,
+    )
 
     B = 4096
     # Pin the fast path explicitly (instead of trusting auto-detection) so
@@ -45,6 +50,13 @@ def main():
 
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)
+    # Shard the env batch over ALL local chips so "env-steps/s/chip" stays
+    # honest on multi-chip hosts: each chip steps B/n_chips envs (the same
+    # placement tests/integration/test_sharding.py verifies keeps the hot
+    # loop collective-free). On one chip this is a no-op.
+    mesh = make_mesh()
+    state = shard_env_state(state, mesh)
+    obs = shard_batch(obs, mesh)
 
     @jax.jit
     def step_n(state, obs, key, n=8):

@@ -1,0 +1,215 @@
+"""PPO train-step breakdown bench: where does the update time go?
+
+Measures, in steady state on the local accelerator:
+  * rollout-only (the lax.scan of policy + env._step_impl, jitted alone)
+  * update-only (GAE + minibatched epochs, jitted alone, on a fixed traj)
+  * full train_step (the production program)
+
+Prints one JSON object with ms per phase and derived env-steps/s so the
+rollout/training gap is attributable (VERDICT round 2, item 1).
+
+Run: python scripts/bench_ppo.py [--batch 4096] [--rollout 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, warmup=10, iters=8, block=lambda r: r, label=""):
+    """Steady-state wall time per call (s). fn must be jitted/async."""
+    t0 = time.time()
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(block(out))
+    print(f"# {label}: warmup+compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(block(out))
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--rollout", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--minibatches", type=int, default=4)
+    args = ap.parse_args()
+
+    from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+    from spintorque_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    env = SpinTorqueEnv(
+        batch_size=args.batch, config=SpinTorqueEnvConfig(dtype="float32")
+    )
+    cfg = PPOConfig(
+        rollout_steps=args.rollout,
+        num_epochs=args.epochs,
+        num_minibatches=args.minibatches,
+    )
+    trainer = PPOTrainer(env, cfg)
+    ts = trainer.init(jax.random.PRNGKey(0))
+
+    results = {
+        "batch": args.batch,
+        "rollout_steps": args.rollout,
+        "use_pallas": bool(env.config.use_pallas),
+        "backend": jax.default_backend(),
+    }
+
+    # --- full train step -------------------------------------------------
+    def full(ts):
+        new_ts, _ = trainer.train_step(ts)
+        return new_ts
+
+    t_full, ts2 = timed(full, ts, block=lambda r: r.params, label="train_step")
+    steps_per_update = args.rollout * args.batch
+    results["train_step_ms"] = round(t_full * 1e3, 3)
+    results["train_env_steps_per_s"] = round(steps_per_update / t_full, 1)
+
+    # --- rollout only -----------------------------------------------------
+    @jax.jit
+    def rollout_only(params, env_state, obs, key):
+        def body(carry, k):
+            env_state, obs = carry
+            env_action, raw, logp, value = trainer._policy(params, obs, k)
+            nxt, out = env._step_impl(env_state, env_action)
+            return (nxt, out.obs), (out.reward, raw, logp, value)
+
+        keys = jax.random.split(key, args.rollout)
+        (env_state, obs), traj = jax.lax.scan(
+            body, (env_state, obs), keys, unroll=2
+        )
+        return env_state, obs, traj
+
+    t_roll, _ = timed(
+        rollout_only, ts.params, ts.env_state, ts.obs, ts.key,
+        block=lambda r: r[1], label="rollout",
+    )
+    results["rollout_ms"] = round(t_roll * 1e3, 3)
+    results["rollout_env_steps_per_s"] = round(steps_per_update / t_roll, 1)
+
+    # --- env steps alone (no policy net), same program shape as bench.py --
+    from spintorque_tpu.parallel import random_policy
+
+    policy = random_policy(env)
+
+    @jax.jit
+    def env_only(env_state, obs, key):
+        def body(carry, k):
+            env_state, obs = carry
+            nxt, out = env._step_impl(env_state, policy(None, obs, k))
+            return (nxt, out.obs), out.reward.mean()
+
+        keys = jax.random.split(key, args.rollout)
+        (env_state, obs), r = jax.lax.scan(body, (env_state, obs), keys, unroll=2)
+        return env_state, obs, r.mean()
+
+    t_env, _ = timed(env_only, ts.env_state, ts.obs, ts.key, block=lambda r: r[2], label="env_only")
+    results["env_only_ms"] = round(t_env * 1e3, 3)
+    results["env_only_steps_per_s"] = round(steps_per_update / t_env, 1)
+
+    # --- update only (GAE + epochs) on a captured trajectory --------------
+    # Reuse the trainer internals by timing full minus rollout is too crude;
+    # jit a closure that runs everything AFTER the rollout on frozen traj.
+    env_state, obs, (reward, raw, logp, value) = jax.block_until_ready(
+        rollout_only(ts.params, ts.env_state, ts.obs, ts.key)
+    )
+    done = jnp.zeros_like(reward, bool)
+    traj = dict(
+        obs=jnp.zeros((args.rollout, args.batch, env.observation_size), jnp.float32),
+        raw_action=raw, reward=reward, done=done, log_prob=logp, value=value,
+    )
+
+    @jax.jit
+    def update_only(params, opt_state, key, traj):
+        cfg_ = trainer.config
+        out = trainer.network.apply({"params": params}, traj["obs"][-1])
+        last_value = out[-1]
+
+        def gae_step(carry, t):
+            gae, next_value = carry
+            delta = (
+                traj["reward"][t]
+                + cfg_.gamma * next_value * (1.0 - traj["done"][t])
+                - traj["value"][t]
+            )
+            gae = delta + cfg_.gamma * cfg_.gae_lambda * (1.0 - traj["done"][t]) * gae
+            return (gae, traj["value"][t]), gae
+
+        T = cfg_.rollout_steps
+        (_, _), advantages = jax.lax.scan(
+            gae_step, (jnp.zeros_like(last_value), last_value),
+            jnp.arange(T - 1, -1, -1))
+        advantages = advantages[::-1]
+        returns = advantages + traj["value"]
+
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = dict(
+            obs=flat(traj["obs"]), raw_action=flat(traj["raw_action"]),
+            log_prob=flat(traj["log_prob"]), value=flat(traj["value"]),
+            advantage=flat(advantages), ret=flat(returns))
+        n = batch["log_prob"].shape[0]
+        adv = batch["advantage"]
+        batch["advantage"] = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        import optax
+
+        def loss_fn(params, mb):
+            log_prob, entropy, value = trainer._evaluate_actions(
+                params, mb["obs"], mb["raw_action"])
+            ratio = jnp.exp(log_prob - mb["log_prob"])
+            pg1 = ratio * mb["advantage"]
+            pg2 = jnp.clip(ratio, 1 - cfg_.clip_eps, 1 + cfg_.clip_eps) * mb["advantage"]
+            pg_loss = -jnp.minimum(pg1, pg2).mean()
+            v_loss = 0.5 * ((value - mb["ret"]) ** 2).mean()
+            return pg_loss + cfg_.vf_coef * v_loss
+
+        def epoch_step(carry, epoch_key):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_key, n)
+
+            def mb_step(carry, mb_idx):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * (n // cfg_.num_minibatches),
+                    n // cfg_.num_minibatches)
+                mb = jax.tree.map(lambda x: x[idx], batch)
+                loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+                updates, opt_state = trainer.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_step, (params, opt_state), jnp.arange(cfg_.num_minibatches))
+            return (params, opt_state), losses
+
+        epoch_keys = jax.random.split(key, cfg_.num_epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch_step, (params, opt_state), epoch_keys)
+        return params, opt_state, losses.mean()
+
+    t_upd, _ = timed(
+        update_only, ts.params, ts.opt_state, ts.key, traj,
+        block=lambda r: r[2], label="update_only",
+    )
+    results["update_only_ms"] = round(t_upd * 1e3, 3)
+
+    results["accounted_ms"] = round((t_roll + t_upd) * 1e3, 3)
+    results["unaccounted_ms"] = round((t_full - t_roll - t_upd) * 1e3, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,47 @@ def test_sharded_vs_single_device_identical():
     np.testing.assert_array_equal(np.asarray(t1.reward), np.asarray(t2.reward))
 
 
+def test_per_device_work_and_memory_balance():
+    """Each mesh device must hold exactly B/n_data rows of every batch-major
+    state array - before AND after a step. Guards against a regression that
+    silently replicates the batch (each chip would then do ALL the work and
+    'env-steps/s/chip' claims would be inflated by n_data)."""
+    mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    B = 64
+    env = SpinTorqueEnv(
+        batch_size=B,
+        config=SpinTorqueEnvConfig(include_thermal=False, max_duration=1e-10,
+                                   dtype="float32"),
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = shard_env_state(state, mesh)
+
+    def assert_balanced(arr, name):
+        shards = arr.addressable_shards
+        assert len(shards) == n_data, f"{name}: {len(shards)} shards"
+        seen_rows = 0
+        for s in shards:
+            expect = (B // n_data,) + arr.shape[1:]
+            assert s.data.shape == expect, (
+                f"{name}: device {s.device} holds shard {s.data.shape}, "
+                f"expected {expect} (replicated batch?)"
+            )
+            seen_rows += s.data.shape[0]
+        assert seen_rows == B
+
+    assert_balanced(state.m, "state.m (pre-step)")
+    assert not state.m.sharding.is_fully_replicated
+
+    actions = shard_batch(
+        jnp.tile(jnp.asarray([[1e5, 1e-10]], jnp.float32), (B, 1)), mesh
+    )
+    state, ts = env.step(state, actions)
+    assert_balanced(state.m, "state.m (post-step)")
+    assert_balanced(ts.obs, "obs (post-step)")
+    assert_balanced(ts.reward, "reward (post-step)")
+
+
 def test_pmean_metrics_reduces_across_mesh():
     """pmean_metrics: batch-sharded leaves reduce to the GLOBAL mean and the
     result is replicated on every mesh device."""
