@@ -6,7 +6,13 @@ Prints ONE JSON line:
 Configuration follows BASELINE.json's north-star metric: 4096 vectorized
 SpinTorque-v0 envs (default physics: STT-MRAM, thermal fluctuations on,
 RK4, max_duration 5 ns), random continuous actions spanning the full action
-space, measured in steady state on the local accelerator.
+space, measured in steady state on the local accelerator. The env batch is
+sharded over all local chips (no-op on one chip) so the per-chip number
+stays honest on multi-chip hosts.
+
+measure_env_throughput() is the ONE measurement program: the artifact
+recorder (scripts/record_tpu_bench.py) imports it so docs/BENCH_TPU_v5e.json
+and the headline are the same program, not lookalikes.
 
 Baseline: the reference's measured 1.802 s/step single env on CPU
 (quality_gates_report.json "Performance") = 0.555 env-steps/s.
@@ -24,20 +30,81 @@ import jax
 # serializable-executable path pessimizes the Pallas kernel). Compile time
 # (~30 s once) is an acceptable price for a 3.4x faster measured program.
 
-import jax.numpy as jnp
-
 REFERENCE_STEPS_PER_S = 1.0 / 1.802  # reference quality-gate measurement
 
 
-def main():
-    from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
-    from spintorque_tpu.ops.pallas_integrator import tpu_kernel_available
+def measure_env_throughput(
+    env,
+    *,
+    n_inner: int = 8,
+    warmup: int = 12,
+    blocks: int = 1,
+    iters_per_block: int = 8,
+    seed: int = 0,
+):
+    """Steady-state throughput of the public vectorized env step program.
+
+    Builds the jitted scan-of-steps program (the headline program), shards
+    the env batch over a ('data','model') mesh covering all local devices,
+    warms to steady state (the first ~10 executions of a fresh executable
+    run ~3.5x slower on tunneled TPU runtimes), then times ``blocks``
+    independent blocks of ``iters_per_block`` dispatches with ONE device
+    sync per block (a per-dispatch sync pays the tunnel round-trip each
+    iteration and understates throughput ~1.6x).
+
+    Returns (rates, total_env_steps_per_block): ``rates`` is a list of
+    ``blocks`` env-steps/s numbers (total across all chips).
+    """
     from spintorque_tpu.parallel import (
         make_mesh,
         random_policy,
         shard_batch,
         shard_env_state,
     )
+
+    policy = random_policy(env)
+    key = jax.random.PRNGKey(seed)
+    state, obs = env.reset(key)
+    mesh = make_mesh()
+    state = shard_env_state(state, mesh)
+    obs = shard_batch(obs, mesh)
+
+    @jax.jit
+    def step_n(state, obs, key):
+        def body(carry, k):
+            state, obs = carry
+            action = policy(None, obs, k)
+            state, ts = env._step_impl(state, action)
+            return (state, ts.obs), ts.reward.mean()
+
+        keys = jax.random.split(key, n_inner)
+        # unroll=2: a rolled XLA While around the Pallas pulse kernel with a
+        # data-dependent scalar-prefetch trip bound runs ~4x slower on this
+        # TPU generation (22 ms vs 6 ms per 4096-env step); any unrolling
+        # restores full speed.
+        (state, obs), rewards = jax.lax.scan(body, (state, obs), keys, unroll=2)
+        return state, obs, rewards.mean()
+
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, obs, _ = step_n(state, obs, sub)
+    jax.block_until_ready(obs)
+
+    steps_per_block = iters_per_block * n_inner * env.batch_size
+    rates = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters_per_block):
+            key, sub = jax.random.split(key)
+            state, obs, r = step_n(state, obs, sub)
+        jax.block_until_ready(obs)
+        rates.append(steps_per_block / (time.perf_counter() - t0))
+    return rates, steps_per_block
+
+
+def main():
+    from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+    from spintorque_tpu.ops.pallas_integrator import tpu_kernel_available
 
     B = 4096
     # Pin the fast path explicitly (instead of trusting auto-detection) so
@@ -46,53 +113,10 @@ def main():
     use_pallas = tpu_kernel_available()
     cfg = SpinTorqueEnvConfig(dtype="float32", use_pallas=use_pallas or None)
     env = SpinTorqueEnv(batch_size=B, config=cfg)  # defaults: thermal, rk4, 5 ns
-    policy = random_policy(env)
 
-    key = jax.random.PRNGKey(0)
-    state, obs = env.reset(key)
-    # Shard the env batch over ALL local chips so "env-steps/s/chip" stays
-    # honest on multi-chip hosts: each chip steps B/n_chips envs (the same
-    # placement tests/integration/test_sharding.py verifies keeps the hot
-    # loop collective-free). On one chip this is a no-op.
-    mesh = make_mesh()
-    state = shard_env_state(state, mesh)
-    obs = shard_batch(obs, mesh)
-
-    @jax.jit
-    def step_n(state, obs, key, n=8):
-        def body(carry, k):
-            state, obs = carry
-            action = policy(None, obs, k)
-            state, ts = env._step_impl(state, action)
-            return (state, ts.obs), ts.reward.mean()
-        keys = jax.random.split(key, n)
-        # unroll=2: a rolled XLA While around the Pallas pulse kernel with a
-        # data-dependent scalar-prefetch trip bound runs ~4x slower on this
-        # TPU generation (22 ms vs 6 ms per 4096-env step); any unrolling
-        # restores full speed.
-        (state, obs), rewards = jax.lax.scan(body, (state, obs), keys, unroll=2)
-        return state, obs, rewards.mean()
-
-    # Warmup: compile, then run until steady state. The first ~10 executions
-    # of a fresh executable run ~3.5x slower on tunneled TPU runtimes (program
-    # residency warmup); measuring them would understate throughput by 3x+.
-    n_inner = 8
-    for _ in range(12):
-        key, sub = jax.random.split(key)
-        state, obs, _ = step_n(state, obs, sub)
-    jax.block_until_ready(obs)
-
-    n_iters = 8
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        key, sub = jax.random.split(key)
-        state, obs, r = step_n(state, obs, sub)
-    jax.block_until_ready(obs)
-    elapsed = time.perf_counter() - t0
-
-    total_steps = n_iters * n_inner * B
+    rates, _ = measure_env_throughput(env, blocks=1, iters_per_block=8)
     n_chips = jax.local_device_count()
-    steps_per_s_per_chip = total_steps / elapsed / n_chips
+    steps_per_s_per_chip = rates[0] / n_chips
 
     dev = jax.devices()[0]
     print(

@@ -5,9 +5,13 @@ dependency chain (~1.2 us per substep-batch); unrolling the masked body
 trades loop-control overhead for ILP. Masked substeps are exact no-ops, so
 any unroll factor is numerically identical (tests/unit/test_pallas_unroll.py).
 
+Writes docs/BENCH_UNROLL_TPU_v5e.json (the recorded sweep the round-2
+verdict asked for) and prints the table.
+
 Run: timeout 590 python scripts/bench_pallas_unroll.py
 """
 
+import json
 import os
 import sys
 import time
@@ -59,6 +63,12 @@ def timed(fn, iters=20):
 def main():
     m0, spans, cur = setup()
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    artifact = {
+        "backend": jax.default_backend(),
+        "batch": B,
+        "workload": "rk4 pulses, uniform random spans 1e-12..5e-9 s",
+        "results": [],
+    }
     for thermal in (False, True):
         cfg = IntegratorConfig(
             method="rk4", max_substeps=5101, thermal=thermal,
@@ -79,6 +89,22 @@ def main():
                 f"  {B / dt:12.0f} env-pulses/s",
                 flush=True,
             )
+            artifact["results"].append(
+                {
+                    "thermal": thermal,
+                    "unroll": unroll,
+                    "ms_per_pulse_batch": round(dt * 1e3, 4),
+                    "env_pulses_per_s": round(B / dt, 1),
+                }
+            )
+    pi._SUBSTEP_UNROLL_OVERRIDE = None
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "BENCH_UNROLL_TPU_v5e.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print("wrote", out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,135 @@
+"""Measured roofline/utilization for the Pallas pulse kernel (round-2
+verdict item: quantify, don't assert).
+
+Workload: B=4096 envs, every pulse exactly 1 ns -> 1000 substeps (uniform n:
+no masking waste, so the number is pure kernel arithmetic). Reports, for
+deterministic and thermal RK4:
+
+  * wall time per pulse batch and per substep-batch
+  * achieved FLOP/s from a static op count of the kernel body
+  * utilization vs the v5e VPU ceiling
+  * HBM traffic per call (state is VMEM-resident: only kernel I/O moves)
+
+FLOP accounting (easy_z RK4, counting one mul/add/sub as 1, FMA as 2 where
+fused; constant-folded zeros excluded): each RHS evaluation is ~37 VPU ops,
+a substep is 4 RHS + stage scaling (12) + stage inputs (18) + combine (18)
++ normalize (~20) ~= 230 FLOP/env. Thermal adds 2 Box-Muller transforms
+(per_substep mode): 2x(log+sqrt+cos/sin+arith) - transcendentals lower to
+multi-op polynomial sequences on the VPU, accounted separately as
+"transcendental slots", not FLOPs.
+
+v5e VPU ceiling: 4 SIMD subunits x (8x128) lanes x 940 MHz = 3.85 Tops/s
+(7.7 TFLOP/s if every op were an FMA). The kernel is NOT FLOP-bound; the
+point of this artifact is to show measured distance from the ceiling and
+attribute it to the loop-carried dependency chain (docs/PERFORMANCE.md).
+
+Writes docs/ROOFLINE_TPU_v5e.json.
+Run: timeout 590 python scripts/bench_roofline.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from spintorque_tpu.ops import pallas_integrator as pi
+from spintorque_tpu.physics import IntegratorConfig, LLGSParams
+
+B = 4096
+N_SUBSTEPS = 1000
+FLOP_PER_SUBSTEP_DET = 230  # static count, see module docstring
+VPU_OPS_PER_S = 3.85e12  # v5e: 4 subunits x 1024 lanes x 940 MHz
+VPU_FMA_FLOPS = 7.7e12
+HBM_BYTES_PER_S = 819e9  # v5e HBM bandwidth
+
+PARAMS = LLGSParams(
+    saturation_magnetization=800e3,
+    damping=0.01,
+    uniaxial_anisotropy=1.2e6,
+    volume=1e-23,
+    polarization=0.7,
+    easy_axis=jnp.array([0.0, 0.0, 1.0], jnp.float32),
+).astype(jnp.float32)
+
+
+def timed(fn, iters=20, warmup=12):
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    m = jax.random.normal(key, (B, 3), jnp.float32)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m0 = (m[:, 0], m[:, 1], m[:, 2])
+    spans = jnp.full((B,), 1e-9, jnp.float32)  # uniform: n = 1000 for all
+    cur = jnp.full((B,), -1e6, jnp.float32)
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
+    results = {}
+    for label, thermal in (("deterministic", False), ("thermal_per_substep", True)):
+        cfg = IntegratorConfig(
+            method="rk4", max_substeps=1024, thermal=thermal,
+            noise_mode="reference", rk4_noise="per_substep",
+        )
+        k = jax.random.PRNGKey(7) if thermal else None
+        t = timed(lambda: pi.integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg, key=k))
+        flop = FLOP_PER_SUBSTEP_DET * B * N_SUBSTEPS
+        achieved = flop / t
+        # Kernel I/O: 12 input (B,) arrays + easy-axis none (+z specialized)
+        # + 4 outputs, f32 (+ the sort/unsort gathers outside the kernel).
+        io_bytes = (12 + 4) * B * 4
+        results[label] = {
+            "ms_per_pulse_batch": round(t * 1e3, 4),
+            "us_per_substep_batch": round(t / N_SUBSTEPS * 1e6, 4),
+            "substep_flop_per_env_counted": FLOP_PER_SUBSTEP_DET,
+            "achieved_tflop_per_s": round(achieved / 1e12, 4),
+            "vpu_utilization_vs_ops_ceiling": round(achieved / VPU_OPS_PER_S, 4),
+            "vpu_utilization_vs_fma_ceiling": round(achieved / VPU_FMA_FLOPS, 4),
+            "hbm_bytes_per_call": io_bytes,
+            "hbm_utilization": round(io_bytes / t / HBM_BYTES_PER_S, 6),
+        }
+        r = results[label]
+        print(
+            f"{label}: {r['ms_per_pulse_batch']} ms/batch "
+            f"({r['us_per_substep_batch']} us/substep-batch) "
+            f"achieved {r['achieved_tflop_per_s']} TFLOP/s "
+            f"= {100 * r['vpu_utilization_vs_ops_ceiling']:.1f}% of VPU ops ceiling; "
+            f"HBM {100 * r['hbm_utilization']:.4f}%",
+            flush=True,
+        )
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "ROOFLINE_TPU_v5e.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "backend": jax.default_backend(),
+                "batch": B,
+                "substeps": N_SUBSTEPS,
+                "vpu_ops_ceiling": VPU_OPS_PER_S,
+                "vpu_fma_ceiling": VPU_FMA_FLOPS,
+                "hbm_bytes_per_s": HBM_BYTES_PER_S,
+                "results": results,
+            },
+            fh,
+            indent=2,
+        )
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

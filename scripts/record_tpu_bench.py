@@ -1,11 +1,18 @@
 """Regenerate docs/BENCH_TPU_v5e.json on the real TPU backend.
 
-Mirrors the artifact's round-1 structure (solver pulses/s, env thermal,
-env deterministic) with bootstrap-free mean/std/ci95 over repeat blocks.
-Run: python scripts/record_tpu_bench.py  (one process only — TPU tunnel)
+The env entries are measured by bench.measure_env_throughput - literally the
+SAME program as the headline bench.py, so the committed artifact and the
+headline number can never disagree about what was measured (round-2 advisor
+finding). Adds: deterministic headline, B=65536 scaling, SpinTorqueArray-v0
+and SkyrmionRacetrack-v0 TPU throughput, and t-based confidence intervals on
+the mean (the old 2.5/97.5 percentiles of 6 samples were interpolated
+min/max, not a CI).
+
+Run: python scripts/record_tpu_bench.py   (one process only - TPU tunnel)
 """
 
 import json
+import math
 import os
 import platform
 import statistics
@@ -18,25 +25,82 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench import measure_env_throughput
+
+# Two-sided 95% Student-t critical values by degrees of freedom.
+_T95 = {1: 12.71, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+        7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228, 15: 2.131, 20: 2.086}
+
+
+def _tcrit(df):
+    if df in _T95:
+        return _T95[df]
+    for k in sorted(_T95):
+        if k >= df:
+            return _T95[k]
+    return 1.96
+
 
 def _stats(rates, name, unit, wall_s):
+    """Mean with a t-based 95% CI on the MEAN (not sample percentiles)."""
+    n = len(rates)
     mean = statistics.fmean(rates)
-    std = statistics.stdev(rates) if len(rates) > 1 else 0.0
-    lo, hi = np.percentile(rates, [2.5, 97.5])
+    std = statistics.stdev(rates) if n > 1 else 0.0
+    half = _tcrit(n - 1) * std / math.sqrt(n) if n > 1 else 0.0
     return {
         "name": name,
         "value": mean,
         "unit": unit,
         "std": std,
-        "ci95": [float(lo), float(hi)],
+        "ci95_mean": [mean - half, mean + half],
+        "n_blocks": n,
         "extra": {"wall_s": round(wall_s, 3)},
     }
 
 
+def _measure_custom_env(env, make_action, n_inner=8, warmup=12, blocks=6,
+                        iters_per_block=4):
+    """measure_env_throughput equivalent for array/skyrmion envs (their
+    action spaces differ from SpinTorqueEnv's, so random actions come from
+    ``make_action(key, batch)``)."""
+    key = jax.random.PRNGKey(3)
+    state, obs = env.reset(key)
+
+    @jax.jit
+    def step_n(state, key):
+        def body(carry, k):
+            state = carry
+            state, ts = env._step_impl(state, make_action(k, env.batch_size))
+            return state, ts.reward.mean()
+
+        keys = jax.random.split(key, n_inner)
+        state, rw = jax.lax.scan(body, state, keys, unroll=2)
+        return state, rw.mean()
+
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, r = step_n(state, sub)
+    jax.block_until_ready(r)
+    rates = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters_per_block):
+            key, sub = jax.random.split(key)
+            state, r = step_n(state, sub)
+        jax.block_until_ready(r)
+        rates.append(iters_per_block * n_inner * env.batch_size /
+                     (time.perf_counter() - t0))
+    return rates
+
+
 def main():
-    from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+    from spintorque_tpu.envs import (
+        SkyrmionRacetrackEnv,
+        SpinTorqueArrayEnv,
+        SpinTorqueEnv,
+        SpinTorqueEnvConfig,
+    )
     from spintorque_tpu.ops.pallas_integrator import tpu_kernel_available
-    from spintorque_tpu.parallel import random_policy
     from spintorque_tpu.physics import IntegratorConfig, integrate_pulse
     from spintorque_tpu.physics.solver import params_from_dict
 
@@ -58,49 +122,68 @@ def main():
         with open(path, "w") as fh:
             json.dump(out, fh, indent=2)
 
-    # Env benches first (the headline programs); incremental JSON writes so a
-    # timeout on the slow remote-compile tunnel still refreshes the artifact.
-    for label, thermal in (("env_4096_thermal", True), ("env_4096_det", False)):
+    # ---- SpinTorque-v0 entries: THE headline program (bench.py) ----------
+    env_cases = [
+        ("env_4096_thermal", 4096, True),
+        ("env_4096_det", 4096, False),
+        ("env_65536_thermal", 65536, True),
+    ]
+    for label, batch, thermal in env_cases:
         ecfg = SpinTorqueEnvConfig(dtype="float32", include_thermal=thermal,
                                    use_pallas=use_pallas or None)
-        env = SpinTorqueEnv(batch_size=B, config=ecfg)
-        policy = random_policy(env)
-        state, obs = env.reset(jax.random.PRNGKey(1))
-
-        @jax.jit
-        def step8(state, obs, key, env=env, policy=policy):
-            def body(carry, k):
-                state, obs = carry
-                state, ts = env._step_impl(state, policy(None, obs, k))
-                return (state, ts.obs), ts.reward.mean()
-            (state, obs), rw = jax.lax.scan(
-                body, (state, obs), jax.random.split(key, 8), unroll=2)
-            return state, obs, rw.mean()
-
+        env = SpinTorqueEnv(batch_size=batch, config=ecfg)
         t_wall = time.time()
-        k = jax.random.PRNGKey(2)
-        for _ in range(12):
-            k, sub = jax.random.split(k)
-            state, obs, _ = step8(state, obs, sub)
-        jax.block_until_ready(obs)
-        # Time blocks of 4 async dispatches with ONE sync at the end: on the
-        # tunneled runtime a per-dispatch block_until_ready pays the tunnel
-        # round-trip every iteration and understates throughput ~1.6x.
-        rates = []
-        for _ in range(6):
-            t0 = time.perf_counter()
-            for _ in range(4):
-                k, sub = jax.random.split(k)
-                state, obs, r = step8(state, obs, sub)
-            jax.block_until_ready(r)
-            rates.append(4 * 8 * B / (time.perf_counter() - t0))
+        rates, _ = measure_env_throughput(
+            env, blocks=6, iters_per_block=4, warmup=12)
         results[label] = _stats(
-            rates, f"env_steps_per_s_B4096_thermal={thermal}", "env-steps/s",
-            time.time() - t_wall)
+            rates, f"env_steps_per_s_B{batch}_thermal={thermal}",
+            "env-steps/s", time.time() - t_wall)
         print(label + ":", round(results[label]["value"]), flush=True)
         flush_json()
 
-    # Solver micro-bench: 1000-substep 1 ns pulses, thermal on.
+    # ---- SpinTorqueArray-v0 (4x4, individual mode) -----------------------
+    arr_env = SpinTorqueArrayEnv(batch_size=512, dtype="float32")
+    N = arr_env.config.n_devices
+
+    def arr_action(key, batch):
+        ki, kc, kd = jax.random.split(key, 3)
+        idx = jax.random.randint(ki, (batch,), 0, N).astype(jnp.float32)
+        cur = jax.random.uniform(kc, (batch,), jnp.float32, -2e6, 2e6)
+        dur = jax.random.uniform(kd, (batch,), jnp.float32, 1e-12, 5e-9)
+        return jnp.stack([idx, cur, dur], axis=-1)
+
+    t_wall = time.time()
+    rates = _measure_custom_env(arr_env, arr_action)
+    results["array_512_4x4"] = _stats(
+        rates, "array_env_steps_per_s_B512_4x4_individual", "env-steps/s",
+        time.time() - t_wall)
+    print("array_512_4x4:", round(results["array_512_4x4"]["value"]), flush=True)
+    flush_json()
+
+    # ---- SkyrmionRacetrack-v0 (1 skyrmion, continuous) -------------------
+    sky_env = SkyrmionRacetrackEnv(batch_size=4096, dtype="float32")
+    mc, mg = sky_env.config.max_current, sky_env.config.max_gradient
+
+    def sky_action(key, batch):
+        kj, kg, kd = jax.random.split(key, 3)
+        j = jax.random.uniform(kj, (batch, 2), jnp.float32, -0.5 * mc, 0.5 * mc)
+        g = jax.random.uniform(kg, (batch, 2), jnp.float32, -0.5 * mg, 0.5 * mg)
+        d = jax.random.uniform(kd, (batch, 1), jnp.float32, 1e-12, 2e-9)
+        return jnp.concatenate([j, g, d], axis=-1)
+
+    t_wall = time.time()
+    rates = _measure_custom_env(sky_env, sky_action)
+    results["skyrmion_4096"] = _stats(
+        rates, "skyrmion_env_steps_per_s_B4096_continuous", "env-steps/s",
+        time.time() - t_wall)
+    print("skyrmion_4096:", round(results["skyrmion_4096"]["value"]), flush=True)
+    flush_json()
+
+    # ---- Solver micro-benches: 1000-substep 1 ns pulses ------------------
+    # Two entries: deterministic (round-1-comparable config: thermal OFF,
+    # 1000 substeps) and thermal, under keys whose names say what they run
+    # (the old artifact reused the round-1 key for a changed config -
+    # round-2 advisor finding).
     p = params_from_dict(
         dict(volume=1e-23, saturation_magnetization=800e3, damping=0.01,
              uniaxial_anisotropy=1.2e6, polarization=0.7,
@@ -112,25 +195,28 @@ def main():
     m0 = (m[:, 0], m[:, 1], m[:, 2])
     spans = jnp.full((B,), 1e-9, jnp.float32)
     cur = jnp.full((B,), 1e2, jnp.float32)
-    cfg = IntegratorConfig(method="rk4", max_substeps=1024, thermal=True,
-                           use_pallas=use_pallas or None)
-    f = jax.jit(lambda m0, k: integrate_pulse(m0, spans, cur, p, cfg, key=k))
-    t_wall = time.time()
-    jax.block_until_ready(f(m0, key))
-    for _ in range(10):  # steady-state warmup
+    for label, thermal in (("solver_4096x1000_det", False),
+                           ("solver_4096x1000_thermal", True)):
+        cfg = IntegratorConfig(method="rk4", max_substeps=1024, thermal=thermal,
+                               use_pallas=use_pallas or None)
+        f = jax.jit(lambda m0, k, cfg=cfg: integrate_pulse(
+            m0, spans, cur, p, cfg, key=k))
+        t_wall = time.time()
         jax.block_until_ready(f(m0, key))
-    rates = []
-    for i in range(8):
-        t0 = time.perf_counter()
-        for _ in range(4):
-            r = f(m0, jax.random.fold_in(key, i))
-        jax.block_until_ready(r)
-        rates.append(4 * B / (time.perf_counter() - t0))
-    results["solver_4096x1000"] = _stats(
-        rates, "solver_pulses_per_s_B4096_1000substeps_thermal",
-        "pulses/s", time.time() - t_wall)
-    print("solver:", round(results["solver_4096x1000"]["value"]), flush=True)
-    flush_json()
+        for _ in range(10):  # steady-state warmup
+            jax.block_until_ready(f(m0, key))
+        rates = []
+        for i in range(8):
+            t0 = time.perf_counter()
+            for _ in range(6):
+                r = f(m0, jax.random.fold_in(key, i))
+            jax.block_until_ready(r)
+            rates.append(6 * B / (time.perf_counter() - t0))
+        results[label] = _stats(
+            rates, f"solver_pulses_per_s_B4096_1000substeps_thermal={thermal}",
+            "pulses/s", time.time() - t_wall)
+        print(label + ":", round(results[label]["value"]), flush=True)
+        flush_json()
     print("wrote", path, flush=True)
 
 
