@@ -85,9 +85,18 @@ def measure_env_throughput(
         (state, obs), rewards = jax.lax.scan(body, (state, obs), keys, unroll=2)
         return state, obs, rewards.mean()
 
+    # Pre-split all per-dispatch keys OUTSIDE the timed region and fetch
+    # them to host: an eager jax.random.split per iteration is its own
+    # dispatch through the (tunneled) runtime and contaminates the timing -
+    # it made the small-program benches (array env, solver micro-bench)
+    # report 2-10x low with 4x-wide CIs.
+    import numpy as _np
+
+    n_keys = warmup + blocks * iters_per_block
+    subs = _np.asarray(jax.random.split(key, n_keys))
+    ki = 0
     for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        state, obs, _ = step_n(state, obs, sub)
+        state, obs, _ = step_n(state, obs, subs[ki]); ki += 1
     jax.block_until_ready(obs)
 
     steps_per_block = iters_per_block * n_inner * env.batch_size
@@ -95,8 +104,7 @@ def measure_env_throughput(
     for _ in range(blocks):
         t0 = time.perf_counter()
         for _ in range(iters_per_block):
-            key, sub = jax.random.split(key)
-            state, obs, r = step_n(state, obs, sub)
+            state, obs, r = step_n(state, obs, subs[ki]); ki += 1
         jax.block_until_ready(obs)
         rates.append(steps_per_block / (time.perf_counter() - t0))
     return rates, steps_per_block

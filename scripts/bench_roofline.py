@@ -85,27 +85,47 @@ def main():
         )
         k = jax.random.PRNGKey(7) if thermal else None
         t = timed(lambda: pi.integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg, key=k))
+        # Separate FIXED call overhead (dispatch + sort/unsort gathers +
+        # result fetch on the tunneled runtime) from MARGINAL per-substep
+        # latency: time a 5x-longer pulse with the same batch and difference
+        # the two. The marginal number is the honest latency floor; quoting
+        # total/substeps conflates it with per-call overhead.
+        cfg5 = cfg._replace(max_substeps=5120)
+        spans5 = jnp.full((B,), 5e-9, jnp.float32)  # n = 5000
+        t5 = timed(
+            lambda: pi.integrate_pulse_pallas(m0, spans5, cur, PARAMS, cfg5, key=k),
+            iters=10,
+        )
+        marginal_us = (t5 - t) / (5000 - N_SUBSTEPS) * 1e6
+        overhead_ms = (t - marginal_us * 1e-6 * N_SUBSTEPS) * 1e3
         flop = FLOP_PER_SUBSTEP_DET * B * N_SUBSTEPS
         achieved = flop / t
+        marginal_achieved = FLOP_PER_SUBSTEP_DET * B / (marginal_us * 1e-6)
         # Kernel I/O: 12 input (B,) arrays + easy-axis none (+z specialized)
         # + 4 outputs, f32 (+ the sort/unsort gathers outside the kernel).
         io_bytes = (12 + 4) * B * 4
         results[label] = {
-            "ms_per_pulse_batch": round(t * 1e3, 4),
-            "us_per_substep_batch": round(t / N_SUBSTEPS * 1e6, 4),
+            "ms_per_pulse_batch_1000": round(t * 1e3, 4),
+            "ms_per_pulse_batch_5000": round(t5 * 1e3, 4),
+            "us_per_substep_batch_total": round(t / N_SUBSTEPS * 1e6, 4),
+            "us_per_substep_batch_marginal": round(marginal_us, 4),
+            "fixed_call_overhead_ms": round(overhead_ms, 4),
             "substep_flop_per_env_counted": FLOP_PER_SUBSTEP_DET,
             "achieved_tflop_per_s": round(achieved / 1e12, 4),
+            "marginal_achieved_tflop_per_s": round(marginal_achieved / 1e12, 4),
             "vpu_utilization_vs_ops_ceiling": round(achieved / VPU_OPS_PER_S, 4),
+            "marginal_vpu_utilization": round(marginal_achieved / VPU_OPS_PER_S, 4),
             "vpu_utilization_vs_fma_ceiling": round(achieved / VPU_FMA_FLOPS, 4),
             "hbm_bytes_per_call": io_bytes,
             "hbm_utilization": round(io_bytes / t / HBM_BYTES_PER_S, 6),
         }
         r = results[label]
         print(
-            f"{label}: {r['ms_per_pulse_batch']} ms/batch "
-            f"({r['us_per_substep_batch']} us/substep-batch) "
-            f"achieved {r['achieved_tflop_per_s']} TFLOP/s "
-            f"= {100 * r['vpu_utilization_vs_ops_ceiling']:.1f}% of VPU ops ceiling; "
+            f"{label}: {r['ms_per_pulse_batch_1000']} ms/1000-substep batch, "
+            f"marginal {r['us_per_substep_batch_marginal']} us/substep-batch "
+            f"+ {r['fixed_call_overhead_ms']} ms/call overhead; "
+            f"marginal {r['marginal_achieved_tflop_per_s']} TFLOP/s "
+            f"= {100 * r['marginal_vpu_utilization']:.1f}% of VPU ops ceiling; "
             f"HBM {100 * r['hbm_utilization']:.4f}%",
             flush=True,
         )

@@ -50,6 +50,7 @@ def _stats(rates, name, unit, wall_s):
     return {
         "name": name,
         "value": mean,
+        "median": statistics.median(rates),
         "unit": unit,
         "std": std,
         "ci95_mean": [mean - half, mean + half],
@@ -58,8 +59,8 @@ def _stats(rates, name, unit, wall_s):
     }
 
 
-def _measure_custom_env(env, make_action, n_inner=8, warmup=12, blocks=6,
-                        iters_per_block=4):
+def _measure_custom_env(env, make_action, n_inner=8, warmup=12, blocks=8,
+                        iters_per_block=16):
     """measure_env_throughput equivalent for array/skyrmion envs (their
     action spaces differ from SpinTorqueEnv's, so random actions come from
     ``make_action(key, batch)``)."""
@@ -77,16 +78,17 @@ def _measure_custom_env(env, make_action, n_inner=8, warmup=12, blocks=6,
         state, rw = jax.lax.scan(body, state, keys, unroll=2)
         return state, rw.mean()
 
+    # Keys pre-split and fetched to host: see bench.measure_env_throughput.
+    subs = np.asarray(jax.random.split(key, warmup + blocks * iters_per_block))
+    ki = 0
     for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        state, r = step_n(state, sub)
+        state, r = step_n(state, subs[ki]); ki += 1
     jax.block_until_ready(r)
     rates = []
     for _ in range(blocks):
         t0 = time.perf_counter()
         for _ in range(iters_per_block):
-            key, sub = jax.random.split(key)
-            state, r = step_n(state, sub)
+            state, r = step_n(state, subs[ki]); ki += 1
         jax.block_until_ready(r)
         rates.append(iters_per_block * n_inner * env.batch_size /
                      (time.perf_counter() - t0))
@@ -133,8 +135,11 @@ def main():
                                    use_pallas=use_pallas or None)
         env = SpinTorqueEnv(batch_size=batch, config=ecfg)
         t_wall = time.time()
+        # iters_per_block=8 matches bench.py's sync cadence exactly: each
+        # device sync costs a tunnel round-trip, so a shorter block cadence
+        # would report ~10% below the headline for the same program.
         rates, _ = measure_env_throughput(
-            env, blocks=6, iters_per_block=4, warmup=12)
+            env, blocks=8, iters_per_block=8, warmup=12)
         results[label] = _stats(
             rates, f"env_steps_per_s_B{batch}_thermal={thermal}",
             "env-steps/s", time.time() - t_wall)
@@ -202,6 +207,10 @@ def main():
         f = jax.jit(lambda m0, k, cfg=cfg: integrate_pulse(
             m0, spans, cur, p, cfg, key=k))
         t_wall = time.time()
+        # Keys pre-split to host numpy OUTSIDE the timed loops (an eager
+        # fold_in per block is its own runtime dispatch and was the source
+        # of the 4x-wide solver CI in the round-2 artifact).
+        solver_keys = np.asarray(jax.random.split(key, 8))
         jax.block_until_ready(f(m0, key))
         for _ in range(10):  # steady-state warmup
             jax.block_until_ready(f(m0, key))
@@ -209,7 +218,7 @@ def main():
         for i in range(8):
             t0 = time.perf_counter()
             for _ in range(6):
-                r = f(m0, jax.random.fold_in(key, i))
+                r = f(m0, solver_keys[i])
             jax.block_until_ready(r)
             rates.append(6 * B / (time.perf_counter() - t0))
         results[label] = _stats(

@@ -422,7 +422,10 @@ def _integrate_pulse_pallas(
     # spends ~half its iterations holding finished envs. Outputs are
     # scattered back through the inverse permutation.
     perm = jnp.argsort(-n)
-    inv_perm = jnp.argsort(perm)
+    # Inverse permutation via scatter, not a second argsort: TPU sorts are
+    # multi-pass bitonic networks (~O(B log^2 B) passes) and this one sits
+    # on the per-step critical path; scatter(iota) is a single pass.
+    inv_perm = jnp.zeros_like(perm).at[perm].set(jnp.arange(B, dtype=perm.dtype))
     n_s = n[perm]
     dt_s = dt[perm]
     current = current[perm]
@@ -527,10 +530,16 @@ def _integrate_pulse_pallas(
         in_specs=[tensor_spec] * len(args),
         out_specs=[tensor_spec] * 4,
     )
+    # In-kernel unroll default per the recorded sweep
+    # (docs/BENCH_UNROLL_TPU_v5e.json, v5e B=4096 uniform 0-5 ns): the
+    # deterministic loop is fastest rolled (2.81 vs 3.02 ms at unroll=2);
+    # the thermal loop gains ~3.7% at unroll=2 (5.57 -> 5.37 ms) - its body
+    # is long enough that two copies overlap PRNG/transcendental latency,
+    # while unroll=4 spills (6.68 ms).
     kernel = functools.partial(
         _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
         rk4_per_substep=(config.rk4_noise == "per_substep"),
-        unroll=_SUBSTEP_UNROLL_OVERRIDE or 1,
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or (2 if config.thermal else 1),
     )
     ox, oy, oz, failed = pl.pallas_call(
         kernel,

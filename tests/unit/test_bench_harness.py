@@ -1,0 +1,54 @@
+"""The headline measurement program (bench.measure_env_throughput) must run
+on any backend and report sane rates — docs/BENCH_TPU_v5e.json and the
+driver headline are both produced by this exact function, so a regression
+here silently invalidates the recorded performance story.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from bench import REFERENCE_STEPS_PER_S, measure_env_throughput
+from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+
+
+def test_measure_env_throughput_cpu_smoke():
+    env = SpinTorqueEnv(
+        batch_size=64,
+        config=SpinTorqueEnvConfig(
+            dtype="float32", include_thermal=False, max_duration=1e-10
+        ),
+    )
+    rates, steps_per_block = measure_env_throughput(
+        env, n_inner=2, warmup=2, blocks=2, iters_per_block=2
+    )
+    assert steps_per_block == 2 * 2 * 64
+    assert len(rates) == 2
+    assert all(np.isfinite(r) and r > 0 for r in rates)
+    # Even the CPU backend at B=64 must clear the reference's measured rate.
+    assert min(rates) > REFERENCE_STEPS_PER_S
+
+
+def test_measured_batch_stays_sharded():
+    """measure_env_throughput shards the batch over the local mesh; on the
+    8-fake-device test backend the measured program must keep all devices
+    populated (the per-chip division in bench.main assumes it)."""
+    import jax
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 fake devices")
+    env = SpinTorqueEnv(
+        batch_size=64,
+        config=SpinTorqueEnvConfig(
+            dtype="float32", include_thermal=False, max_duration=1e-10
+        ),
+    )
+    rates, _ = measure_env_throughput(
+        env, n_inner=2, warmup=1, blocks=1, iters_per_block=1
+    )
+    assert rates[0] > 0
