@@ -115,6 +115,14 @@ def main():
     def flush_json():
         out = {
             "suite": "spintorque_tpu",
+            "notes": (
+                "env_* entries: bench.measure_env_throughput, the exact "
+                "headline program (scan of 8 public env steps, one device "
+                "sync per 8 dispatches). solver_* entries: one host "
+                "dispatch per pulse call - per-call dispatch overhead "
+                "dominates (kernel-only cost is in ROOFLINE_TPU_v5e.json); "
+                "honest user-API latencies, not kernel throughput."
+            ),
             "backend": jax.default_backend(),
             "devices": jax.local_device_count(),
             "platform": platform.platform(),
