@@ -41,6 +41,8 @@ def measure_env_throughput(
     blocks: int = 1,
     iters_per_block: int = 8,
     seed: int = 0,
+    make_action=None,
+    return_final=False,
 ):
     """Steady-state throughput of the public vectorized env step program.
 
@@ -52,8 +54,15 @@ def measure_env_throughput(
     sync per block (a per-dispatch sync pays the tunnel round-trip each
     iteration and understates throughput ~1.6x).
 
-    Returns (rates, total_env_steps_per_block): ``rates`` is a list of
-    ``blocks`` env-steps/s numbers (total across all chips).
+    ``make_action(key, batch_size)`` overrides the action source for envs
+    whose action space differs from SpinTorqueEnv's (array/skyrmion) - the
+    SAME measurement program serves every env, so the recorded artifact
+    can never drift from the headline (scripts/record_tpu_bench.py).
+
+    Returns (rates, total_env_steps_per_block) - rates is a list of
+    ``blocks`` env-steps/s numbers (total across all mesh devices) - plus
+    the final sharded obs when ``return_final`` (so callers/tests can
+    assert the measured program kept the batch sharded).
     """
     from spintorque_tpu.parallel import (
         make_mesh,
@@ -62,18 +71,30 @@ def measure_env_throughput(
         shard_env_state,
     )
 
-    policy = random_policy(env)
+    if make_action is None:
+        policy = random_policy(env)
+
+        def make_action(key, batch_size, _obs=None):
+            return policy(None, _obs, key)
+
+        obs_driven = True
+    else:
+        obs_driven = False
+
     key = jax.random.PRNGKey(seed)
     state, obs = env.reset(key)
     mesh = make_mesh()
     state = shard_env_state(state, mesh)
-    obs = shard_batch(obs, mesh)
+    obs = jax.tree.map(lambda x: shard_batch(x, mesh), obs)
 
     @jax.jit
     def step_n(state, obs, key):
         def body(carry, k):
             state, obs = carry
-            action = policy(None, obs, k)
+            if obs_driven:
+                action = make_action(k, env.batch_size, _obs=obs)
+            else:
+                action = make_action(k, env.batch_size)
             state, ts = env._step_impl(state, action)
             return (state, ts.obs), ts.reward.mean()
 
@@ -107,6 +128,8 @@ def measure_env_throughput(
             state, obs, r = step_n(state, obs, subs[ki]); ki += 1
         jax.block_until_ready(obs)
         rates.append(steps_per_block / (time.perf_counter() - t0))
+    if return_final:
+        return rates, steps_per_block, obs
     return rates, steps_per_block
 
 
@@ -123,7 +146,11 @@ def main():
     env = SpinTorqueEnv(batch_size=B, config=cfg)  # defaults: thermal, rk4, 5 ns
 
     rates, _ = measure_env_throughput(env, blocks=1, iters_per_block=8)
-    n_chips = jax.local_device_count()
+    # Denominator matches the mesh measure_env_throughput builds (ALL
+    # devices, jax.devices()) - local_device_count() would overstate
+    # per-chip throughput by the process count under a multi-process
+    # runtime where the two differ.
+    n_chips = jax.device_count()
     steps_per_s_per_chip = rates[0] / n_chips
 
     dev = jax.devices()[0]

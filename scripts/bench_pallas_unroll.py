@@ -69,10 +69,20 @@ def main():
         "workload": "rk4 pulses, uniform random spans 1e-12..5e-9 s",
         "results": [],
     }
-    for thermal in (False, True):
+    # Three bodies: deterministic, thermal per_substep (the ENV default:
+    # 2 Box-Muller transforms/substep), thermal per_stage (the library
+    # IntegratorConfig default: 6 transforms) - the unroll winner can
+    # differ per body length, so each is swept separately and the kernel
+    # defaults must cite the matching row.
+    cases = [
+        ("determ      ", False, "per_substep"),
+        ("th/substep  ", True, "per_substep"),
+        ("th/stage    ", True, "per_stage"),
+    ]
+    for label, thermal, rk4_noise in cases:
         cfg = IntegratorConfig(
             method="rk4", max_substeps=5101, thermal=thermal,
-            noise_mode="reference",
+            noise_mode="reference", rk4_noise=rk4_noise,
         )
         key = jax.random.PRNGKey(7) if thermal else None
         for unroll in (1, 2, 4):
@@ -83,7 +93,6 @@ def main():
                     m0, spans, cur, PARAMS, cfg, key=key
                 )
             )
-            label = "thermal" if thermal else "determ "
             print(
                 f"{label} unroll={unroll}  {dt * 1e3:8.3f} ms/pulse-batch"
                 f"  {B / dt:12.0f} env-pulses/s",
@@ -92,6 +101,7 @@ def main():
             artifact["results"].append(
                 {
                     "thermal": thermal,
+                    "rk4_noise": rk4_noise,
                     "unroll": unroll,
                     "ms_per_pulse_batch": round(dt * 1e3, 4),
                     "env_pulses_per_s": round(B / dt, 1),

@@ -83,7 +83,12 @@ def main():
             env_state, obs = carry
             env_action, raw, logp, value = trainer._policy(params, obs, k)
             nxt, out = env._step_impl(env_state, env_action)
-            return (nxt, out.obs), (out.reward, raw, logp, value)
+            transition = dict(
+                obs=obs, raw_action=raw, reward=out.reward,
+                done=(out.terminated | out.truncated),
+                log_prob=logp, value=value,
+            )
+            return (nxt, out.obs), transition
 
         keys = jax.random.split(key, args.rollout)
         (env_state, obs), traj = jax.lax.scan(
@@ -118,90 +123,23 @@ def main():
     results["env_only_ms"] = round(t_env * 1e3, 3)
     results["env_only_steps_per_s"] = round(steps_per_update / t_env, 1)
 
-    # --- update only (GAE + epochs) on a captured trajectory --------------
-    # Reuse the trainer internals by timing full minus rollout is too crude;
-    # jit a closure that runs everything AFTER the rollout on frozen traj.
-    env_state, obs, (reward, raw, logp, value) = jax.block_until_ready(
+    # --- update only: THE production post-rollout program -----------------
+    # trainer.update_from_traj is the same callable _train_step_impl runs
+    # (bootstrap + GAE + minibatched clipped-surrogate epochs with value
+    # clipping and the entropy term), timed on a frozen trajectory.
+    env_state, last_obs, traj = jax.block_until_ready(
         rollout_only(ts.params, ts.env_state, ts.obs, ts.key)
-    )
-    done = jnp.zeros_like(reward, bool)
-    traj = dict(
-        obs=jnp.zeros((args.rollout, args.batch, env.observation_size), jnp.float32),
-        raw_action=raw, reward=reward, done=done, log_prob=logp, value=value,
     )
 
     @jax.jit
-    def update_only(params, opt_state, key, traj):
-        cfg_ = trainer.config
-        out = trainer.network.apply({"params": params}, traj["obs"][-1])
-        last_value = out[-1]
-
-        def gae_step(carry, t):
-            gae, next_value = carry
-            delta = (
-                traj["reward"][t]
-                + cfg_.gamma * next_value * (1.0 - traj["done"][t])
-                - traj["value"][t]
-            )
-            gae = delta + cfg_.gamma * cfg_.gae_lambda * (1.0 - traj["done"][t]) * gae
-            return (gae, traj["value"][t]), gae
-
-        T = cfg_.rollout_steps
-        (_, _), advantages = jax.lax.scan(
-            gae_step, (jnp.zeros_like(last_value), last_value),
-            jnp.arange(T - 1, -1, -1))
-        advantages = advantages[::-1]
-        returns = advantages + traj["value"]
-
-        def flat(x):
-            return x.reshape((-1,) + x.shape[2:])
-
-        batch = dict(
-            obs=flat(traj["obs"]), raw_action=flat(traj["raw_action"]),
-            log_prob=flat(traj["log_prob"]), value=flat(traj["value"]),
-            advantage=flat(advantages), ret=flat(returns))
-        n = batch["log_prob"].shape[0]
-        adv = batch["advantage"]
-        batch["advantage"] = (adv - adv.mean()) / (adv.std() + 1e-8)
-
-        import optax
-
-        def loss_fn(params, mb):
-            log_prob, entropy, value = trainer._evaluate_actions(
-                params, mb["obs"], mb["raw_action"])
-            ratio = jnp.exp(log_prob - mb["log_prob"])
-            pg1 = ratio * mb["advantage"]
-            pg2 = jnp.clip(ratio, 1 - cfg_.clip_eps, 1 + cfg_.clip_eps) * mb["advantage"]
-            pg_loss = -jnp.minimum(pg1, pg2).mean()
-            v_loss = 0.5 * ((value - mb["ret"]) ** 2).mean()
-            return pg_loss + cfg_.vf_coef * v_loss
-
-        def epoch_step(carry, epoch_key):
-            params, opt_state = carry
-            perm = jax.random.permutation(epoch_key, n)
-
-            def mb_step(carry, mb_idx):
-                params, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(
-                    perm, mb_idx * (n // cfg_.num_minibatches),
-                    n // cfg_.num_minibatches)
-                mb = jax.tree.map(lambda x: x[idx], batch)
-                loss, grads = jax.value_and_grad(loss_fn)(params, mb)
-                updates, opt_state = trainer.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                mb_step, (params, opt_state), jnp.arange(cfg_.num_minibatches))
-            return (params, opt_state), losses
-
-        epoch_keys = jax.random.split(key, cfg_.num_epochs)
-        (params, opt_state), losses = jax.lax.scan(
-            epoch_step, (params, opt_state), epoch_keys)
+    def update_only(params, opt_state, key, traj, last_obs):
+        params, opt_state, losses, auxes = trainer.update_from_traj(
+            params, opt_state, traj, last_obs, key
+        )
         return params, opt_state, losses.mean()
 
     t_upd, _ = timed(
-        update_only, ts.params, ts.opt_state, ts.key, traj,
+        update_only, ts.params, ts.opt_state, ts.key, traj, last_obs,
         block=lambda r: r[2], label="update_only",
     )
     results["update_only_ms"] = round(t_upd * 1e3, 3)

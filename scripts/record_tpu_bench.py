@@ -33,12 +33,14 @@ _T95 = {1: 12.71, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
 
 
 def _tcrit(df):
+    """95% two-sided t critical value; for df between table keys use the
+    nearest key BELOW (t grows as df shrinks, so rounding df down is
+    conservative - rounding up would report an anti-conservatively narrow
+    CI). df above the table uses the largest key, also conservative."""
     if df in _T95:
         return _T95[df]
-    for k in sorted(_T95):
-        if k >= df:
-            return _T95[k]
-    return 1.96
+    below = [k for k in _T95 if k <= df]
+    return _T95[max(below)] if below else _T95[min(_T95)]
 
 
 def _stats(rates, name, unit, wall_s):
@@ -57,42 +59,6 @@ def _stats(rates, name, unit, wall_s):
         "n_blocks": n,
         "extra": {"wall_s": round(wall_s, 3)},
     }
-
-
-def _measure_custom_env(env, make_action, n_inner=8, warmup=12, blocks=8,
-                        iters_per_block=16):
-    """measure_env_throughput equivalent for array/skyrmion envs (their
-    action spaces differ from SpinTorqueEnv's, so random actions come from
-    ``make_action(key, batch)``)."""
-    key = jax.random.PRNGKey(3)
-    state, obs = env.reset(key)
-
-    @jax.jit
-    def step_n(state, key):
-        def body(carry, k):
-            state = carry
-            state, ts = env._step_impl(state, make_action(k, env.batch_size))
-            return state, ts.reward.mean()
-
-        keys = jax.random.split(key, n_inner)
-        state, rw = jax.lax.scan(body, state, keys, unroll=2)
-        return state, rw.mean()
-
-    # Keys pre-split and fetched to host: see bench.measure_env_throughput.
-    subs = np.asarray(jax.random.split(key, warmup + blocks * iters_per_block))
-    ki = 0
-    for _ in range(warmup):
-        state, r = step_n(state, subs[ki]); ki += 1
-    jax.block_until_ready(r)
-    rates = []
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(iters_per_block):
-            state, r = step_n(state, subs[ki]); ki += 1
-        jax.block_until_ready(r)
-        rates.append(iters_per_block * n_inner * env.batch_size /
-                     (time.perf_counter() - t0))
-    return rates
 
 
 def main():
@@ -166,7 +132,9 @@ def main():
         return jnp.stack([idx, cur, dur], axis=-1)
 
     t_wall = time.time()
-    rates = _measure_custom_env(arr_env, arr_action)
+    rates, _ = measure_env_throughput(
+        arr_env, blocks=8, iters_per_block=16, warmup=12,
+        make_action=arr_action)
     results["array_512_4x4"] = _stats(
         rates, "array_env_steps_per_s_B512_4x4_individual", "env-steps/s",
         time.time() - t_wall)
@@ -185,7 +153,9 @@ def main():
         return jnp.concatenate([j, g, d], axis=-1)
 
     t_wall = time.time()
-    rates = _measure_custom_env(sky_env, sky_action)
+    rates, _ = measure_env_throughput(
+        sky_env, blocks=8, iters_per_block=16, warmup=12,
+        make_action=sky_action)
     results["skyrmion_4096"] = _stats(
         rates, "skyrmion_env_steps_per_s_B4096_continuous", "env-steps/s",
         time.time() - t_wall)

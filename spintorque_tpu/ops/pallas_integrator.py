@@ -530,16 +530,19 @@ def _integrate_pulse_pallas(
         in_specs=[tensor_spec] * len(args),
         out_specs=[tensor_spec] * 4,
     )
-    # In-kernel unroll default per the recorded sweep
-    # (docs/BENCH_UNROLL_TPU_v5e.json, v5e B=4096 uniform 0-5 ns): the
-    # deterministic loop is fastest rolled (2.81 vs 3.02 ms at unroll=2);
-    # the thermal loop gains ~3.7% at unroll=2 (5.57 -> 5.37 ms) - its body
-    # is long enough that two copies overlap PRNG/transcendental latency,
-    # while unroll=4 spills (6.68 ms).
+    # In-kernel unroll defaults per the recorded per-noise-mode sweep
+    # (docs/BENCH_UNROLL_TPU_v5e.json, v5e B=4096 random 0-5 ns spans):
+    # thermal per_substep (the env default body) 4.58 -> 3.89 ms at
+    # unroll=2 (+18%; unroll=4 is flat); thermal per_stage 5.56 -> 5.21 ms
+    # at unroll=2; deterministic is fastest AND run-to-run stable at
+    # unroll=4 (2.82-2.85 ms across sweeps, where the rolled loop's
+    # schedule is bimodal at 2.8/4.7 ms). Masked overshoot iterations are
+    # exact no-ops, so any unroll is numerically identical
+    # (tests/unit/test_pallas_unroll.py).
     kernel = functools.partial(
         _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
         rk4_per_substep=(config.rk4_noise == "per_substep"),
-        unroll=_SUBSTEP_UNROLL_OVERRIDE or (2 if config.thermal else 1),
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or (2 if config.thermal else 4),
     )
     ox, oy, oz, failed = pl.pallas_call(
         kernel,

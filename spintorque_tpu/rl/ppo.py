@@ -181,11 +181,46 @@ class PPOTrainer:
             rollout_step, (ts.env_state, ts.obs), step_keys, unroll=2
         )
 
+        params, opt_state, losses, auxes = self.update_from_traj(
+            ts.params, ts.opt_state, traj, obs, k_perm
+        )
+
+        metrics = {
+            "loss": losses.mean(),
+            "pg_loss": auxes["pg_loss"].mean(),
+            "v_loss": auxes["v_loss"].mean(),
+            "entropy": auxes["entropy"].mean(),
+            "mean_reward": traj["reward"].mean(),
+            "success_rate": traj["success"].mean(),
+            "episodes": traj["done"].sum(),
+        }
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=key,
+            update_count=ts.update_count + 1,
+        )
+        return new_ts, metrics
+
+    def update_from_traj(self, params, opt_state, traj, last_obs, key):
+        """The full post-rollout update: bootstrap value, GAE, flatten,
+        advantage normalization, minibatched clipped-surrogate epochs.
+
+        THE production update - _train_step_impl calls it, and
+        scripts/bench_ppo.py times this exact callable so the recorded
+        "update only" cost is the program users run, not a lookalike.
+        traj: dict of (T, B, ...) arrays with keys obs/raw_action/reward/
+        done/log_prob/value. Returns (params, opt_state, losses, auxes).
+        """
+        cfg = self.config
+
         # Bootstrap value for the final observation.
         if self.discrete:
-            _, last_value = self.network.apply({"params": ts.params}, obs)
+            _, last_value = self.network.apply({"params": params}, last_obs)
         else:
-            _, _, last_value = self.network.apply({"params": ts.params}, obs)
+            _, _, last_value = self.network.apply({"params": params}, last_obs)
 
         # GAE (reverse scan). Episodes auto-reset, so done masks bootstrap.
         def gae_step(carry, t):
@@ -263,29 +298,11 @@ class PPOTrainer:
             )
             return (params, opt_state), (losses, auxes)
 
-        epoch_keys = jax.random.split(k_perm, cfg.num_epochs)
+        epoch_keys = jax.random.split(key, cfg.num_epochs)
         (params, opt_state), (losses, auxes) = jax.lax.scan(
-            epoch_step, (ts.params, ts.opt_state), epoch_keys
+            epoch_step, (params, opt_state), epoch_keys
         )
-
-        metrics = {
-            "loss": losses.mean(),
-            "pg_loss": auxes["pg_loss"].mean(),
-            "v_loss": auxes["v_loss"].mean(),
-            "entropy": auxes["entropy"].mean(),
-            "mean_reward": traj["reward"].mean(),
-            "success_rate": traj["success"].mean(),
-            "episodes": traj["done"].sum(),
-        }
-        new_ts = TrainState(
-            params=params,
-            opt_state=opt_state,
-            env_state=env_state,
-            obs=obs,
-            key=key,
-            update_count=ts.update_count + 1,
-        )
-        return new_ts, metrics
+        return params, opt_state, losses, auxes
 
     def train_step(self, ts: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
         return self._train_step(ts)

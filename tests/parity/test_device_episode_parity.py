@@ -175,7 +175,11 @@ def test_randomized_episode_parity_sweep(device_type, episode_seed):
     bound the reference's Python-loop runtime) and random initial/target
     states, replayed through both envs step by step."""
     case = DEVICE_CASES[device_type]
-    rng = np.random.default_rng(1000 * episode_seed + hash(device_type) % 997)
+    # Seed from the device type's INDEX, not hash(): str hashing is
+    # randomized per interpreter, which would make the "seeded" sweep draw
+    # different episodes every run.
+    type_idx = sorted(DEVICE_CASES).index(device_type)
+    rng = np.random.default_rng(1000 * episode_seed + 7 * type_idx)
 
     ref, ours = _make_pair(device_type, case["params"], max_steps=10)
 

@@ -33,22 +33,31 @@ def test_measure_env_throughput_cpu_smoke():
 
 
 def test_measured_batch_stays_sharded():
-    """measure_env_throughput shards the batch over the local mesh; on the
-    8-fake-device test backend the measured program must keep all devices
-    populated (the per-chip division in bench.main assumes it)."""
+    """The measured program must keep the batch SHARDED across all mesh
+    devices end-to-end - if it silently replicated, every chip would do all
+    the work and bench.main's per-chip division would inflate the headline
+    by the device count."""
     import jax
 
     if jax.device_count() < 8:
         import pytest
 
         pytest.skip("needs 8 fake devices")
+    B = 64
     env = SpinTorqueEnv(
-        batch_size=64,
+        batch_size=B,
         config=SpinTorqueEnvConfig(
             dtype="float32", include_thermal=False, max_duration=1e-10
         ),
     )
-    rates, _ = measure_env_throughput(
-        env, n_inner=2, warmup=1, blocks=1, iters_per_block=1
+    rates, _, final_obs = measure_env_throughput(
+        env, n_inner=2, warmup=1, blocks=1, iters_per_block=1,
+        return_final=True,
     )
     assert rates[0] > 0
+    n_dev = jax.device_count()
+    assert not final_obs.sharding.is_fully_replicated
+    shards = final_obs.addressable_shards
+    assert len(shards) == n_dev
+    for s in shards:
+        assert s.data.shape == (B // n_dev,) + final_obs.shape[1:]
