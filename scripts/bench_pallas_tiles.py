@@ -60,12 +60,17 @@ def timed(fn, iters=20):
 
 
 def main():
+    import json
+
     m0, spans, cur = setup()
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    artifact = {"backend": jax.default_backend(), "batch": B, "results": []}
+    # thermal runs rk4_noise='per_substep' - the ENV default body the tile
+    # choice actually serves (the round-2 sweep ran per_stage).
     for thermal in (False, True):
         cfg = IntegratorConfig(
             method="rk4", max_substeps=5101, thermal=thermal,
-            noise_mode="reference",
+            noise_mode="reference", rk4_noise="per_substep",
         )
         key = jax.random.PRNGKey(7) if thermal else None
         for tile_rows in (32, 16, 8):
@@ -83,6 +88,16 @@ def main():
                 f"  {B / dt:12.0f} env-pulses/s",
                 flush=True,
             )
+            artifact["results"].append(
+                {"thermal": thermal, "tile_rows": tile_rows,
+                 "ms_per_pulse_batch": round(dt * 1e3, 4)}
+            )
+    pi._TILE_ROWS_OVERRIDE = None
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "BENCH_TILES_TPU_v5e.json")
+    with open(out, "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print("wrote", out)
 
 
 if __name__ == "__main__":

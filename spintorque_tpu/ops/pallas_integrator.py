@@ -479,13 +479,15 @@ def _integrate_pulse_pallas(
     # Tile height trades per-iteration VPU width against duration bucketing:
     # grid tiles serialize on the single TensorCore and each runs only to its
     # OWN max substep count, so narrower tiles turn the sorted batch into
-    # finer duration buckets (sum-of-tile-maxes -> sum(n)). Measured on v5e
-    # at B=4096, uniform 0-5 ns durations: thermal is noise-throughput-bound
-    # and 8-row tiles win (6.7 -> 5.5 ms); the deterministic loop is
-    # dependency-latency-bound and 16-row tiles win (2.9 -> 2.7 ms). Height
-    # still adapts downward so small batches do not pad to wasted compute.
+    # finer duration buckets (sum-of-tile-maxes -> sum(n)). 16 rows wins for
+    # BOTH modes under the current unroll defaults (docs/
+    # BENCH_TILES_TPU_v5e.json, v5e B=4096 random 0-5 ns: thermal
+    # per_substep+unroll=2 3.68 ms @16 vs 3.82 @8 vs 4.18 @32; det
+    # unroll=4 2.82 @16 vs 3.27 @8 — the round-2 8-row thermal winner was
+    # an artifact of the then-rolled per_stage body). Height still adapts
+    # downward so small batches do not pad to wasted compute.
     rows = -(-B // LANES)
-    pref_rows = _TILE_ROWS_OVERRIDE or (8 if config.thermal else 16)
+    pref_rows = _TILE_ROWS_OVERRIDE or 16
     rows_per_tile = min(pref_rows, max(8, -(-rows // 8) * 8))
     tiles = -(-rows // rows_per_tile)
     rows_padded = tiles * rows_per_tile
