@@ -75,6 +75,19 @@ def test_pallas_matches_xla_deterministic(method):
     _assert_close(out, ref)
 
 
+@pytest.mark.parametrize("B", [1, 5, 200])
+def test_pallas_odd_batch_sizes(B):
+    """Batches that are not lane/tile multiples exercise the padding AND the
+    scatter-based inverse permutation at degenerate shapes (B=1: the
+    permutation is a single element; B=200: 1 lane-row padded to a tile)."""
+    m0, spans, cur = _setup(B=B, seed=11)
+    cfg = IntegratorConfig(method="rk4", max_substeps=256)
+    ref = integrate_pulse(m0, spans, cur, PARAMS.astype(jnp.float32), cfg)
+    with pltpu.force_tpu_interpret_mode():
+        out = integrate_pulse_pallas(m0, spans, cur, PARAMS.astype(jnp.float32), cfg)
+    _assert_close(out, ref)
+
+
 def test_pallas_matches_xla_tilted_axis():
     """General-RHS kernel: scalar tilted easy axis must match the XLA path."""
     m0, spans, cur = _setup(B=128, seed=7)
