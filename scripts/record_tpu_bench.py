@@ -61,7 +61,7 @@ def _stats(rates, name, unit, wall_s):
     }
 
 
-def main():
+def main(only=None):
     from spintorque_tpu.envs import (
         SkyrmionRacetrackEnv,
         SpinTorqueArrayEnv,
@@ -74,9 +74,17 @@ def main():
 
     B = 4096
     use_pallas = tpu_kernel_available()
-    results = {}
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "BENCH_TPU_v5e.json")
+    # --only re-records a subset: seed results with the existing artifact
+    # so a partial run merges instead of clobbering the other entries.
+    results = {}
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            results = json.load(fh).get("results", {})
+
+    def want(label):
+        return only is None or only in label
 
     def flush_json():
         out = {
@@ -105,6 +113,8 @@ def main():
         ("env_65536_thermal", 65536, True),
     ]
     for label, batch, thermal in env_cases:
+        if not want(label):
+            continue
         ecfg = SpinTorqueEnvConfig(dtype="float32", include_thermal=thermal,
                                    use_pallas=use_pallas or None)
         env = SpinTorqueEnv(batch_size=batch, config=ecfg)
@@ -121,46 +131,48 @@ def main():
         flush_json()
 
     # ---- SpinTorqueArray-v0 (4x4, individual mode) -----------------------
-    arr_env = SpinTorqueArrayEnv(batch_size=512, dtype="float32")
-    N = arr_env.config.n_devices
+    if want("array_512_4x4"):
+        arr_env = SpinTorqueArrayEnv(batch_size=512, dtype="float32")
+        N = arr_env.config.n_devices
 
-    def arr_action(key, batch):
-        ki, kc, kd = jax.random.split(key, 3)
-        idx = jax.random.randint(ki, (batch,), 0, N).astype(jnp.float32)
-        cur = jax.random.uniform(kc, (batch,), jnp.float32, -2e6, 2e6)
-        dur = jax.random.uniform(kd, (batch,), jnp.float32, 1e-12, 5e-9)
-        return jnp.stack([idx, cur, dur], axis=-1)
+        def arr_action(key, batch):
+            ki, kc, kd = jax.random.split(key, 3)
+            idx = jax.random.randint(ki, (batch,), 0, N).astype(jnp.float32)
+            cur = jax.random.uniform(kc, (batch,), jnp.float32, -2e6, 2e6)
+            dur = jax.random.uniform(kd, (batch,), jnp.float32, 1e-12, 5e-9)
+            return jnp.stack([idx, cur, dur], axis=-1)
 
-    t_wall = time.time()
-    rates, _ = measure_env_throughput(
-        arr_env, blocks=8, iters_per_block=16, warmup=12,
-        make_action=arr_action)
-    results["array_512_4x4"] = _stats(
-        rates, "array_env_steps_per_s_B512_4x4_individual", "env-steps/s",
-        time.time() - t_wall)
-    print("array_512_4x4:", round(results["array_512_4x4"]["value"]), flush=True)
-    flush_json()
+        t_wall = time.time()
+        rates, _ = measure_env_throughput(
+            arr_env, blocks=8, iters_per_block=16, warmup=12,
+            make_action=arr_action)
+        results["array_512_4x4"] = _stats(
+            rates, "array_env_steps_per_s_B512_4x4_individual", "env-steps/s",
+            time.time() - t_wall)
+        print("array_512_4x4:", round(results["array_512_4x4"]["value"]), flush=True)
+        flush_json()
 
     # ---- SkyrmionRacetrack-v0 (1 skyrmion, continuous) -------------------
-    sky_env = SkyrmionRacetrackEnv(batch_size=4096, dtype="float32")
-    mc, mg = sky_env.config.max_current, sky_env.config.max_gradient
+    if want("skyrmion_4096"):
+        sky_env = SkyrmionRacetrackEnv(batch_size=4096, dtype="float32")
+        mc, mg = sky_env.config.max_current, sky_env.config.max_gradient
 
-    def sky_action(key, batch):
-        kj, kg, kd = jax.random.split(key, 3)
-        j = jax.random.uniform(kj, (batch, 2), jnp.float32, -0.5 * mc, 0.5 * mc)
-        g = jax.random.uniform(kg, (batch, 2), jnp.float32, -0.5 * mg, 0.5 * mg)
-        d = jax.random.uniform(kd, (batch, 1), jnp.float32, 1e-12, 2e-9)
-        return jnp.concatenate([j, g, d], axis=-1)
+        def sky_action(key, batch):
+            kj, kg, kd = jax.random.split(key, 3)
+            j = jax.random.uniform(kj, (batch, 2), jnp.float32, -0.5 * mc, 0.5 * mc)
+            g = jax.random.uniform(kg, (batch, 2), jnp.float32, -0.5 * mg, 0.5 * mg)
+            d = jax.random.uniform(kd, (batch, 1), jnp.float32, 1e-12, 2e-9)
+            return jnp.concatenate([j, g, d], axis=-1)
 
-    t_wall = time.time()
-    rates, _ = measure_env_throughput(
-        sky_env, blocks=8, iters_per_block=16, warmup=12,
-        make_action=sky_action)
-    results["skyrmion_4096"] = _stats(
-        rates, "skyrmion_env_steps_per_s_B4096_continuous", "env-steps/s",
-        time.time() - t_wall)
-    print("skyrmion_4096:", round(results["skyrmion_4096"]["value"]), flush=True)
-    flush_json()
+        t_wall = time.time()
+        rates, _ = measure_env_throughput(
+            sky_env, blocks=8, iters_per_block=16, warmup=12,
+            make_action=sky_action)
+        results["skyrmion_4096"] = _stats(
+            rates, "skyrmion_env_steps_per_s_B4096_continuous", "env-steps/s",
+            time.time() - t_wall)
+        print("skyrmion_4096:", round(results["skyrmion_4096"]["value"]), flush=True)
+        flush_json()
 
     # ---- Solver micro-benches: 1000-substep 1 ns pulses ------------------
     # Two entries: deterministic (round-1-comparable config: thermal OFF,
@@ -180,6 +192,8 @@ def main():
     cur = jnp.full((B,), 1e2, jnp.float32)
     for label, thermal in (("solver_4096x1000_det", False),
                            ("solver_4096x1000_thermal", True)):
+        if not want(label):
+            continue
         cfg = IntegratorConfig(method="rk4", max_substeps=1024, thermal=thermal,
                                use_pallas=use_pallas or None)
         f = jax.jit(lambda m0, k, cfg=cfg: integrate_pulse(
@@ -208,4 +222,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="re-record only entries whose key contains this "
+                         "substring; other entries are kept from the "
+                         "existing artifact")
+    main(only=ap.parse_args().only)
