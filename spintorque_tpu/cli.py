@@ -181,10 +181,9 @@ def cmd_eval(args) -> int:
 
 def _cmd_benchmark(args) -> int:
     import jax
-    import jax.numpy as jnp
 
     from .envs import SpinTorqueEnv, SpinTorqueEnvConfig
-    from .parallel import random_policy
+    from .utils.benchmark import measure_env_throughput
 
     B = args.batch_size or 4096
     env = SpinTorqueEnv(
@@ -192,37 +191,24 @@ def _cmd_benchmark(args) -> int:
         config=SpinTorqueEnvConfig(dtype="float32",
                                    include_thermal=not args.no_thermal),
     )
-    policy = random_policy(env)
-    key = jax.random.PRNGKey(0)
-    state, obs = env.reset(key)
-
-    @jax.jit
-    def step_n(state, obs, key):
-        def body(carry, k):
-            state, obs = carry
-            state, ts = env._step_impl(state, policy(None, obs, k))
-            return (state, ts.obs), ts.reward.mean()
-        keys = jax.random.split(key, args.inner)
-        # unroll=2 avoids the rolled-While Pallas slowdown (docs/PERFORMANCE.md)
-        (state, obs), r = jax.lax.scan(body, (state, obs), keys, unroll=2)
-        return state, obs, r.mean()
-
-    state, obs, _ = step_n(state, obs, key)
-    jax.block_until_ready(obs)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        key, sub = jax.random.split(key)
-        state, obs, _ = step_n(state, obs, sub)
-    jax.block_until_ready(obs)
-    elapsed = time.perf_counter() - t0
-    steps = args.iters * args.inner * B
+    # The SAME measurement program as bench.py and the recorded artifact
+    # (utils/benchmark.py): mesh-sharded batch, steady-state warmup, one
+    # device sync per block of dispatches, keys pre-split outside timing.
+    rates, _ = measure_env_throughput(
+        env,
+        n_inner=args.inner,
+        warmup=min(12, 2 * args.iters),
+        blocks=1,
+        iters_per_block=args.iters,
+    )
+    steps_per_s = rates[0]
     result = {
         "batch_size": B,
         "backend": jax.default_backend(),
         "devices": jax.device_count(),
-        "env_steps_per_s": steps / elapsed,
-        "env_steps_per_s_per_chip": steps / elapsed / jax.local_device_count(),
-        "ms_per_batched_step": elapsed / (args.iters * args.inner) * 1e3,
+        "env_steps_per_s": steps_per_s,
+        "env_steps_per_s_per_chip": steps_per_s / jax.device_count(),
+        "ms_per_batched_step": B / steps_per_s * 1e3,
     }
     print(json.dumps(result))
     return 0
