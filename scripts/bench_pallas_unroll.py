@@ -85,7 +85,7 @@ def main():
             noise_mode="reference", rk4_noise=rk4_noise,
         )
         key = jax.random.PRNGKey(7) if thermal else None
-        for unroll in (1, 2, 4):
+        for unroll in (1, 2, 4, 8):
             pi._SUBSTEP_UNROLL_OVERRIDE = unroll
             jax.clear_caches()  # override is read at trace time
             dt = timed(

@@ -41,7 +41,8 @@ from ..physics.llgs import LLGSParams
 
 LANES = 128
 # Tuning knob for scripts/bench_pallas_tiles.py; None = per-config default
-# chosen inside _integrate_pulse_pallas (8 rows thermal, 16 deterministic).
+# chosen inside _integrate_pulse_pallas (16 rows, both modes - see the
+# tile-height comment there and docs/BENCH_TILES_TPU_v5e.json).
 _TILE_ROWS_OVERRIDE: Optional[int] = None
 # In-kernel substep-loop unroll factor (scripts/bench_pallas_unroll.py);
 # None = per-config default inside _integrate_pulse_pallas. Masked substeps
@@ -535,16 +536,17 @@ def _integrate_pulse_pallas(
     # In-kernel unroll defaults per the recorded per-noise-mode sweep
     # (docs/BENCH_UNROLL_TPU_v5e.json, v5e B=4096 random 0-5 ns spans):
     # thermal per_substep (the env default body) 4.58 -> 3.89 ms at
-    # unroll=2 (+18%; unroll=4 is flat); thermal per_stage 5.56 -> 5.21 ms
-    # at unroll=2; deterministic is fastest AND run-to-run stable at
-    # unroll=4 (2.82-2.85 ms across sweeps, where the rolled loop's
-    # schedule is bimodal at 2.8/4.7 ms). Masked overshoot iterations are
-    # exact no-ops, so any unroll is numerically identical
+    # unroll=2 (+18%; 4 is flat, 8 a coin flip, 16 regresses 4.05 ms);
+    # thermal per_stage 5.56 -> 5.21 ms at unroll=2. Deterministic is
+    # fastest AND stable across fresh compiles at unroll=8 (2.70-2.85 ms
+    # over 3 trials; unroll=4's compiled schedule varies 2.82-3.48 ms and
+    # the rolled loop's is bimodal 2.8/4.7 ms). Masked overshoot
+    # iterations are exact no-ops, so any unroll is numerically identical
     # (tests/unit/test_pallas_unroll.py).
     kernel = functools.partial(
         _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
         rk4_per_substep=(config.rk4_noise == "per_substep"),
-        unroll=_SUBSTEP_UNROLL_OVERRIDE or (2 if config.thermal else 4),
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or (2 if config.thermal else 8),
     )
     ox, oy, oz, failed = pl.pallas_call(
         kernel,
