@@ -79,35 +79,41 @@ def main():
         ("th/substep  ", True, "per_substep"),
         ("th/stage    ", True, "per_stage"),
     ]
-    for label, thermal, rk4_noise in cases:
-        cfg = IntegratorConfig(
-            method="rk4", max_substeps=5101, thermal=thermal,
-            noise_mode="reference", rk4_noise=rk4_noise,
-        )
-        key = jax.random.PRNGKey(7) if thermal else None
-        for unroll in (1, 2, 4, 8):
-            pi._SUBSTEP_UNROLL_OVERRIDE = unroll
-            jax.clear_caches()  # override is read at trace time
-            dt = timed(
-                lambda: pi.integrate_pulse_pallas(
-                    m0, spans, cur, PARAMS, cfg, key=key
+    # try/finally: a mid-sweep exception or timeout must not leave the
+    # module-global override set, silently perturbing any later measurement
+    # in the same process.
+    try:
+        for label, thermal, rk4_noise in cases:
+            cfg = IntegratorConfig(
+                method="rk4", max_substeps=5101, thermal=thermal,
+                noise_mode="reference", rk4_noise=rk4_noise,
+            )
+            key = jax.random.PRNGKey(7) if thermal else None
+            for unroll in (1, 2, 4, 8):
+                pi._SUBSTEP_UNROLL_OVERRIDE = unroll
+                jax.clear_caches()  # override is read at trace time
+                dt = timed(
+                    lambda: pi.integrate_pulse_pallas(
+                        m0, spans, cur, PARAMS, cfg, key=key
+                    )
                 )
-            )
-            print(
-                f"{label} unroll={unroll}  {dt * 1e3:8.3f} ms/pulse-batch"
-                f"  {B / dt:12.0f} env-pulses/s",
-                flush=True,
-            )
-            artifact["results"].append(
-                {
-                    "thermal": thermal,
-                    "rk4_noise": rk4_noise,
-                    "unroll": unroll,
-                    "ms_per_pulse_batch": round(dt * 1e3, 4),
-                    "env_pulses_per_s": round(B / dt, 1),
-                }
-            )
-    pi._SUBSTEP_UNROLL_OVERRIDE = None
+                print(
+                    f"{label} unroll={unroll}  {dt * 1e3:8.3f} ms/pulse-batch"
+                    f"  {B / dt:12.0f} env-pulses/s",
+                    flush=True,
+                )
+                artifact["results"].append(
+                    {
+                        "thermal": thermal,
+                        "rk4_noise": rk4_noise,
+                        "unroll": unroll,
+                        "ms_per_pulse_batch": round(dt * 1e3, 4),
+                        "env_pulses_per_s": round(B / dt, 1),
+                    }
+                )
+    finally:
+        pi._SUBSTEP_UNROLL_OVERRIDE = None
+        jax.clear_caches()
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "BENCH_UNROLL_TPU_v5e.json",

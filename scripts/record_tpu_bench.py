@@ -57,7 +57,18 @@ def _stats(rates, name, unit, wall_s):
         "std": std,
         "ci95_mean": [mean - half, mean + half],
         "n_blocks": n,
-        "extra": {"wall_s": round(wall_s, 3)},
+        # Per-entry provenance: under --only, entries kept from the prior
+        # artifact retain THEIR recording's backend/version/date rather than
+        # being silently re-labeled by the new partial run's top-level
+        # metadata (round-3 advisor finding).
+        "extra": {
+            "wall_s": round(wall_s, 3),
+            "recorded": {
+                "date": time.strftime("%Y-%m-%d"),
+                "backend": jax.default_backend(),
+                "jaxlib": jax.__version__,
+            },
+        },
     }
 
 
@@ -101,6 +112,8 @@ def main(only=None):
             "devices": jax.local_device_count(),
             "platform": platform.platform(),
             "use_pallas": bool(use_pallas),
+            # Top-level metadata describes the LATEST (possibly partial) run;
+            # each entry's extra.recorded carries its own provenance.
             "results": results,
         }
         with open(path, "w") as fh:

@@ -145,12 +145,19 @@ class SpinTorqueEnv:
         batch_size: int = 1,
         reward_components: Optional[Dict[str, Dict]] = None,
         config: Optional[SpinTorqueEnvConfig] = None,
+        mesh=None,
         **config_overrides,
     ):
         if config is None:
             config = SpinTorqueEnvConfig(device_type=device_type, **config_overrides)
         self.config = config
         self.batch_size = batch_size
+        # Multi-chip: when the env batch is sharded over mesh's 'data' axis,
+        # the Pallas fast path must sort durations PER SHARD (shard_map) -
+        # a global argsort would force cross-chip gathers in the hot loop.
+        # ``mesh`` rides through step() as a static jit argument, so setting
+        # env.mesh later (before more steps) retraces correctly.
+        self.mesh = mesh
         dtype = config.jnp_dtype
 
         self.device_params: DeviceParams = make_device_params(
@@ -197,7 +204,7 @@ class SpinTorqueEnv:
         # Jitted entry points. State is deliberately NOT donated: donation
         # breaks when callers alias state fields (e.g. m=target), and the
         # state is far too small for the copy to matter.
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnames=("mesh",))
         self._reset = jax.jit(self._reset_impl)
         self._observe_jit = jax.jit(self._observe)
 
@@ -213,7 +220,7 @@ class SpinTorqueEnv:
         return self._observe_jit(state)
 
     def step(self, state: EnvState, action) -> Tuple[EnvState, TimeStep]:
-        return self._step(state, action)
+        return self._step(state, action, mesh=self.mesh)
 
     @property
     def observation_size(self) -> int:
@@ -334,10 +341,13 @@ class SpinTorqueEnv:
             "last_action": jnp.stack([state.last_current, state.last_duration], -1),
         }
 
-    def _step_impl(self, state: EnvState, action) -> Tuple[EnvState, TimeStep]:
+    def _step_impl(
+        self, state: EnvState, action, mesh=None
+    ) -> Tuple[EnvState, TimeStep]:
         cfg = self.config
         dtype = cfg.jnp_dtype
         B = self.batch_size
+        mesh = mesh if mesh is not None else self.mesh
 
         key, k_noise, k_m, k_t = jax.random.split(state.key, 4)
 
@@ -355,6 +365,7 @@ class SpinTorqueEnv:
             config=cfg.integrator(),
             key=k_noise,
             temperature=jnp.asarray(cfg.temperature, dtype),
+            mesh=mesh,
         )
         mx, my, mz = res.m
         # Final renormalization (spin_torque_env.py:462-464)...

@@ -377,6 +377,9 @@ def integrate_pulse_pallas(
     config: IntegratorConfig,
     key: Optional[jax.Array] = None,
     temperature: jnp.ndarray | float = 300.0,
+    *,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Drop-in fast path for physics.integrator.integrate_pulse.
 
@@ -387,11 +390,75 @@ def integrate_pulse_pallas(
     easy axis is still a concrete array; inside the jitted impl it would be
     a tracer. Callers inside an outer jit get the general RHS (correct for
     every axis, ~1.3x the deterministic VPU work).
+
+    ``mesh``: when the batch is sharded over a multi-device mesh, pass the
+    mesh so the duration sort / inverse-permutation scatter / kernel all run
+    PER SHARD under shard_map. Without it, jit's automatic partitioner would
+    have to all-gather the batch for the global argsort - exactly the
+    collective the zero-collective hot-loop design forbids. Per-shard
+    sorting does not change results: the sort only groups envs into
+    duration buckets; each env's integration is independent of its
+    neighbors (tests/unit/test_pallas_sharding.py asserts bitwise equality).
     """
+    easy_z = _is_plus_z(params.easy_axis)
+    if mesh is not None and dict(mesh.shape).get(data_axis, 1) > 1:
+        return _integrate_pulse_pallas_sharded(
+            m0, span, current, params, config, key, temperature,
+            easy_z=easy_z, mesh=mesh, data_axis=data_axis,
+        )
     return _integrate_pulse_pallas(
-        m0, span, current, params, config, key, temperature,
-        easy_z=_is_plus_z(params.easy_axis),
+        m0, span, current, params, config, key, temperature, easy_z=easy_z
     )
+
+
+def _prep_operands(m0, span, current, params, config, key, temperature, easy_z):
+    """Broadcast every per-env quantity to a (B,) component array + scalar
+    seed, so the core (and its shard_map wrapper) sees one uniform operand
+    layout. Pure elementwise/broadcast work - partitions with the batch."""
+    dtype = jnp.float32
+    mx0, my0, mz0 = (jnp.asarray(c, dtype) for c in m0)
+    B = mx0.shape[0]
+
+    def bcast(x):
+        return jnp.broadcast_to(jnp.asarray(x, dtype), (B,))
+
+    arrays = [
+        mx0, my0, mz0,
+        bcast(span), bcast(current),
+        bcast(params.saturation_magnetization),
+        bcast(params.damping),
+        bcast(params.uniaxial_anisotropy),
+        bcast(params.volume),
+        bcast(params.polarization),
+    ]
+    if config.thermal:
+        if config.noise_mode not in ("reference", "physical"):
+            raise ValueError(f"Unknown noise_mode: {config.noise_mode}")
+        if config.rk4_noise not in ("per_stage", "per_substep"):
+            raise ValueError(f"Unknown rk4_noise: {config.rk4_noise}")
+        arrays.append(bcast(temperature))
+        seed = (
+            jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            if key is not None
+            else jnp.int32(0)
+        )
+    else:
+        arrays.append(jnp.zeros((B,), dtype))
+        seed = jnp.int32(0)
+    if not easy_z:
+        exn, eyn, ezn = params.normalized_easy_axis()
+        arrays += [bcast(exn), bcast(eyn), bcast(ezn)]
+    return tuple(arrays), seed
+
+
+def _shard_seed(seed, shard_idx):
+    """Decorrelate the on-core PRNG across data shards: the kernel seeds each
+    grid tile with seed + program_id, and every shard has the same tile ids,
+    so without an offset all shards would draw IDENTICAL thermal fields. The
+    stride (0x9E3779B ~ 1.7e8) dwarfs any realistic per-shard tile count;
+    int32 wraparound for very large meshes is harmless (any distinct offset
+    decorrelates the counter-based stream)."""
+    return seed + shard_idx.astype(jnp.int32) * jnp.int32(0x9E3779B)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "easy_z"))
@@ -406,11 +473,58 @@ def _integrate_pulse_pallas(
     *,
     easy_z: bool = True,
 ):
-    mx0, my0, mz0 = m0
-    B = mx0.shape[0]
+    arrays, seed = _prep_operands(
+        m0, span, current, params, config, key, temperature, easy_z
+    )
+    return _pallas_core(arrays, seed, config=config, easy_z=easy_z)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "easy_z", "mesh", "data_axis")
+)
+def _integrate_pulse_pallas_sharded(
+    m0, span, current, params, config, key, temperature,
+    *, easy_z, mesh, data_axis,
+):
+    """Shard-safe fast path: everything from the duration sort through the
+    kernel and the inverse-permutation scatter runs PER SHARD of the 'data'
+    axis. Each chip sorts/buckets its LOCAL batch - bucketing quality is
+    per-chip and unchanged - and no data collective ever crosses the ICI
+    (asserted on HLO by tests/integration/test_sharding.py with the Pallas
+    path engaged)."""
+    from jax.sharding import PartitionSpec as P
+
+    arrays, seed = _prep_operands(
+        m0, span, current, params, config, key, temperature, easy_z
+    )
+
+    def body(arrs, s):
+        s = _shard_seed(s, jax.lax.axis_index(data_axis))
+        return _pallas_core(arrs, s, config=config, easy_z=easy_z)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(data_axis), P()),
+        out_specs=((P(data_axis),) * 3, P(data_axis), P(data_axis), P(data_axis)),
+        check_vma=False,
+    )(arrays, seed)
+
+
+def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
+    """Sort -> tile -> kernel -> unsort for one (possibly per-shard) batch.
+
+    ``arrays`` is the uniform (B,) operand tuple from _prep_operands; under
+    shard_map B is the LOCAL batch and the sort/scatter below touch only
+    this shard's rows."""
+    if easy_z:
+        (mx0, my0, mz0, span, current, ms_a, alpha_a, k_u_a, vol_a, pol_a,
+         temp_a) = arrays
+    else:
+        (mx0, my0, mz0, span, current, ms_a, alpha_a, k_u_a, vol_a, pol_a,
+         temp_a, ex_a, ey_a, ez_a) = arrays
     dtype = jnp.float32
-    span = jnp.asarray(span, dtype)
-    current = jnp.asarray(current, dtype)
+    B = mx0.shape[0]
 
     dt, n = substep_counts(span, config.max_step)
     n = jnp.minimum(n, config.max_substeps)
@@ -430,39 +544,31 @@ def _integrate_pulse_pallas(
     n_s = n[perm]
     dt_s = dt[perm]
     current = current[perm]
-    mx0 = jnp.asarray(mx0, dtype)[perm]
-    my0 = jnp.asarray(my0, dtype)[perm]
-    mz0 = jnp.asarray(mz0, dtype)[perm]
+    mx0 = mx0[perm]
+    my0 = my0[perm]
+    mz0 = mz0[perm]
 
-    # Per-env physics coefficients ride through the SAME sort as the state:
-    # broadcast to (B,) then permute, so each env integrates with its own
-    # parameters (and stt below mixes only sorted arrays with the sorted
-    # current). With scalar params the gathers are a negligible (B,) shuffle.
-    def bcast_sorted(x):
-        return jnp.broadcast_to(jnp.asarray(x, dtype), (B,))[perm]
-
-    ms = bcast_sorted(params.saturation_magnetization)
-    alpha = bcast_sorted(params.damping)
-    k_u = bcast_sorted(params.uniaxial_anisotropy)
-    vol = bcast_sorted(params.volume)
-    pol = bcast_sorted(params.polarization)
+    # Per-env physics coefficients ride through the SAME sort as the state,
+    # so each env integrates with its own parameters (and stt below mixes
+    # only sorted arrays with the sorted current). The gathers are a
+    # negligible (B,) shuffle.
+    ms = ms_a[perm]
+    alpha = alpha_a[perm]
+    k_u = k_u_a[perm]
+    vol = vol_a[perm]
+    pol = pol_a[perm]
     h_k = (2.0 * k_u) / (MU0 * ms)
     gamma_eff = GAMMA / (1.0 + alpha**2)
     stt = pol * current / (ms * vol)
     stt = jnp.where(jnp.abs(current) > 1e-12, stt, 0.0)
 
     if not easy_z:
-        exn, eyn, ezn = params.normalized_easy_axis()
-        ex_s = bcast_sorted(exn)
-        ey_s = bcast_sorted(eyn)
-        ez_s = bcast_sorted(ezn)
+        ex_s = ex_a[perm]
+        ey_s = ey_a[perm]
+        ez_s = ez_a[perm]
 
     if config.thermal:
-        if config.noise_mode not in ("reference", "physical"):
-            raise ValueError(f"Unknown noise_mode: {config.noise_mode}")
-        if config.rk4_noise not in ("per_stage", "per_substep"):
-            raise ValueError(f"Unknown rk4_noise: {config.rk4_noise}")
-        temperature = bcast_sorted(temperature)
+        temperature = temp_a[perm]
         denom = MU0 * ms * vol * GAMMA
         if config.noise_mode == "physical":
             # sigma ~ 1/sqrt(dt) must use the SORTED dt so each env's noise
@@ -471,10 +577,8 @@ def _integrate_pulse_pallas(
         else:
             sigma = jnp.sqrt(2.0 * alpha * KB_SOLVER * temperature / denom)
         sigma = jnp.where(temperature > 0.0, sigma, 0.0)
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32) if key is not None else jnp.int32(0)
     else:
         sigma = jnp.zeros((B,), dtype)
-        seed = jnp.int32(0)
 
     # Reshape (B,) -> (rows, 128), padded to a multiple of the tile rows.
     # Tile height trades per-iteration VPU width against duration bucketing:

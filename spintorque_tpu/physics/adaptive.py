@@ -91,6 +91,16 @@ class AdaptiveResult(NamedTuple):
     success: jnp.ndarray  # (B,) reached t_end within max_steps
 
 
+# Method-name mapping (capability parity with the reference's scipy
+# passthrough, llgs_solver.py:26,35: 'RK45','DOP853','Radau','BDF','LSODA').
+# The explicit family maps to the embedded Dormand-Prince RK5(4) pair; the
+# stiff/implicit family maps to the batched A-stable implicit-midpoint
+# solver below (one TPU-native implicit method serves all three scipy stiff
+# names, golden-tested against scipy Radau in tests/unit/test_adaptive.py).
+_EXPLICIT_METHODS = ("rk45", "dop853", "dopri5")
+_IMPLICIT_METHODS = ("radau", "bdf", "lsoda", "midpoint")
+
+
 def integrate_adaptive(
     m0: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     span: jnp.ndarray,
@@ -102,8 +112,26 @@ def integrate_adaptive(
     dt_init: float = 1e-13,
     dt_min: float = 1e-16,
     dt_max: float = 1e-11,
+    method: str = "rk45",
 ) -> AdaptiveResult:
-    """Batched adaptive RK45 over one square pulse (deterministic)."""
+    """Batched adaptive integration over one square pulse (deterministic).
+
+    ``method``: 'rk45'/'dop853' - embedded explicit RK5(4) pair;
+    'radau'/'bdf'/'lsoda'/'midpoint' - A-stable implicit midpoint with
+    Newton iteration and step-doubling error control (the stiff-capable
+    path; the reference delegates these names to scipy.integrate.solve_ivp,
+    llgs_solver.py:26,35)."""
+    meth = method.lower()
+    if meth in _IMPLICIT_METHODS:
+        return _integrate_implicit_midpoint(
+            m0, span, current, params, rtol, atol, max_steps,
+            dt_init, dt_min, dt_max,
+        )
+    if meth not in _EXPLICIT_METHODS:
+        raise ValueError(
+            f"integrate_adaptive: unknown method {method!r}; choose one of "
+            f"{_EXPLICIT_METHODS + _IMPLICIT_METHODS}"
+        )
     mx0, my0, mz0 = m0
     dtype = jnp.result_type(mx0)
     span = jnp.asarray(span, dtype)
@@ -184,6 +212,152 @@ def integrate_adaptive(
     zeros_i = jnp.zeros(B, jnp.int32)
     _, t, _, m, nacc, nrej = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), t0, dt0, (mx0, my0, mz0), zeros_i, zeros_i)
+    )
+    return AdaptiveResult(m=m, n_steps=nacc, n_rejected=nrej, success=t >= span)
+
+
+def _solve3(A, bx, by, bz, tiny):
+    """Batched 3x3 linear solve by Cramer's rule - pure elementwise VPU math
+    (no LU lowering, no per-env loops). A is a 3x3 nest of (B,) arrays."""
+    (a, b, c), (d, e, f), (g, h, i) = A
+    det = (
+        a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    )
+    det = jnp.where(jnp.abs(det) > tiny, det, 1.0)
+    det_x = bx * (e * i - f * h) - b * (by * i - f * bz) + c * (by * h - e * bz)
+    det_y = a * (by * i - f * bz) - bx * (d * i - f * g) + c * (d * bz - by * g)
+    det_z = a * (e * bz - by * h) - b * (d * bz - by * g) + bx * (d * h - e * g)
+    return det_x / det, det_y / det, det_z / det
+
+
+_NEWTON_ITERS = 6  # full Newton from an Euler predictor: quadratic, 6 ample
+
+
+def _integrate_implicit_midpoint(
+    m0, span, current, params: LLGSParams,
+    rtol, atol, max_steps, dt_init, dt_min, dt_max,
+) -> AdaptiveResult:
+    """Batched adaptive IMPLICIT midpoint: the stiff-capable path.
+
+    The implicit midpoint rule y = m + dt*f((m+y)/2) is A-stable (its
+    stability function (1+z/2)/(1-z/2) maps the whole left half-plane into
+    the unit disk), so step size is limited by ACCURACY only - unlike the
+    explicit RK5(4) pair, whose dt is capped by the precession frequency
+    gamma*|H| even when the solution is a slow damped decay (the stiff
+    high-damping/strong-anisotropy regime the reference reaches for scipy's
+    Radau/BDF/LSODA, llgs_solver.py:26,35).
+
+    TPU-native construction - everything is batched elementwise VPU math
+    inside one lax.while_loop:
+      * full Newton on the 3-dim per-env system; the Jacobian's three
+        columns come from three jax.jvp calls on the batched RHS (no vmap,
+        no per-env control flow),
+      * the 3x3 Newton system solves in closed form by Cramer's rule,
+      * error control by step doubling (Richardson, order 2 -> err/3) with
+        the same masked per-env (t, dt) bookkeeping as the explicit path.
+    Accepted steps keep the more accurate two-half-step solution.
+    """
+    mx0, my0, mz0 = m0
+    dtype = jnp.result_type(mx0)
+    span = jnp.asarray(span, dtype)
+    current = jnp.asarray(current, dtype)
+    B = jnp.shape(mx0)
+    tiny = 1e-300 if dtype == jnp.float64 else 1e-30
+
+    def f(mx, my, mz):
+        # Same per-evaluation renormalization as the explicit path / the
+        # reference RHS (llgs_solver.py:95-100). Smooth away from 0, so
+        # jvp differentiates through it cleanly.
+        n = jnp.sqrt(mx * mx + my * my + mz * mz)
+        ok = n > 1e-12
+        safe = jnp.where(ok, n, 1.0)
+        mx = jnp.where(ok, mx / safe, 0.0)
+        my = jnp.where(ok, my / safe, 0.0)
+        mz = jnp.where(ok, mz / safe, 1.0)
+        return llgs_solver_rhs(mx, my, mz, current, params)
+
+    ones = jnp.ones(B, dtype)
+    zeros = jnp.zeros(B, dtype)
+    _TANGENTS = (
+        (ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, ones)
+    )
+
+    def implicit_step(mx, my, mz, dt):
+        """One implicit-midpoint step of size dt (per-env; dt may be 0 for
+        masked envs - then the predictor is exact and Newton is a no-op)."""
+        fx, fy, fz = f(mx, my, mz)
+        y = (mx + dt * fx, my + dt * fy, mz + dt * fz)  # Euler predictor
+
+        def newton(_, y):
+            yx, yy, yz = y
+            hx, hy, hz = 0.5 * (mx + yx), 0.5 * (my + yy), 0.5 * (mz + yz)
+            gx, gy, gz = f(hx, hy, hz)
+            res_x = yx - mx - dt * gx
+            res_y = yy - my - dt * gy
+            res_z = yz - mz - dt * gz
+            # Jacobian columns d f / d m_k at the midpoint; d(mid)/dy = 1/2
+            # folds into the dt/2 factor below.
+            cols = [
+                jax.jvp(f, (hx, hy, hz), tang)[1] for tang in _TANGENTS
+            ]
+            # A[i][k] = delta_ik - (dt/2) * d f_i / d m_k
+            A = tuple(
+                tuple(
+                    (1.0 if i == k else 0.0) - 0.5 * dt * cols[k][i]
+                    for k in range(3)
+                )
+                for i in range(3)
+            )
+            dx, dy, dz = _solve3(A, res_x, res_y, res_z, tiny)
+            return (yx - dx, yy - dy, yz - dz)
+
+        return lax.fori_loop(0, _NEWTON_ITERS, newton, y)
+
+    def cond(carry):
+        i, t, dt, m, nacc, nrej = carry
+        return (i < max_steps) & jnp.any(t < span)
+
+    def body(carry):
+        i, t, dt, (mx, my, mz), nacc, nrej = carry
+        active = t < span
+        dt_eff = jnp.where(active, jnp.minimum(dt, span - t), 0.0)
+
+        y1 = implicit_step(mx, my, mz, dt_eff)  # one full step
+        half = implicit_step(mx, my, mz, 0.5 * dt_eff)  # two half steps
+        y2 = implicit_step(*half, 0.5 * dt_eff)
+
+        # Richardson: midpoint is order 2, so |y1 - y2| / (2^2 - 1)
+        # estimates y2's local error.
+        err = jnp.sqrt(
+            sum((y1[c] - y2[c]) ** 2 for c in range(3)) / 3.0
+        ) / 3.0
+        scale = atol + rtol * jnp.sqrt(sum(y2[c] ** 2 for c in range(3)))
+        ratio = err / jnp.maximum(scale, tiny)
+
+        accept = (ratio <= 1.0) | (dt <= dt_min)
+        # Order-2 controller: dt *= 0.9 ratio^(-1/3), clipped [0.2, 5].
+        factor = jnp.clip(
+            0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / 3.0), 0.2, 5.0
+        )
+        new_dt = jnp.clip(dt * factor, dt_min, dt_max)
+
+        do = active & accept
+        nx, ny, nz = normalize_with_fallback(*y2, dtype)
+        mx = jnp.where(do, nx, mx)
+        my = jnp.where(do, ny, my)
+        mz = jnp.where(do, nz, mz)
+        t = jnp.where(do, t + dt_eff, t)
+        nacc = nacc + do.astype(jnp.int32)
+        nrej = nrej + (active & ~accept).astype(jnp.int32)
+        dt = jnp.where(active, new_dt, dt)
+        return i + 1, t, dt, (mx, my, mz), nacc, nrej
+
+    t0 = jnp.zeros(B, dtype)
+    dt0 = jnp.full(B, dt_init, dtype)
+    zeros_i = jnp.zeros(B, jnp.int32)
+    _, t, _, m, nacc, nrej = lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), t0, dt0, (mx0, my0, mz0), zeros_i, zeros_i),
     )
     return AdaptiveResult(m=m, n_steps=nacc, n_rejected=nrej, success=t >= span)
 

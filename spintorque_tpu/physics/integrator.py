@@ -201,6 +201,8 @@ def integrate_pulse(
     config: IntegratorConfig,
     key: Optional[jax.Array] = None,
     temperature: jnp.ndarray | float = 300.0,
+    mesh=None,
+    data_axis: str = "data",
 ) -> PulseResult:
     """Advance a batch of magnetizations through one square current pulse.
 
@@ -213,6 +215,10 @@ def integrate_pulse(
         config: static IntegratorConfig.
         key: PRNG key (required when config.thermal).
         temperature: scalar or (B,) Kelvin.
+        mesh: optional jax.sharding.Mesh when the batch is sharded over
+            ``data_axis`` - makes the Pallas fast path's duration sort run
+            per shard (zero data collectives). The XLA path needs no mesh:
+            it is elementwise and auto-partitions collective-free.
     """
     mx0, my0, mz0 = m0
     dtype = jnp.result_type(mx0)
@@ -225,7 +231,7 @@ def integrate_pulse(
 
         m, n, dt, failed = integrate_pulse_pallas(
             m0, span, current, params, config._replace(use_pallas=False),
-            key=key, temperature=temperature,
+            key=key, temperature=temperature, mesh=mesh, data_axis=data_axis,
         )
         return PulseResult(m=m, n_substeps=n, dt=dt, failed=failed)
 

@@ -63,6 +63,11 @@ class PPOTrainer:
         self.env = env
         self.config = config
         self.mesh = mesh
+        if mesh is not None and getattr(env, "mesh", None) is None:
+            # The env must know the mesh so its Pallas fast path sorts pulse
+            # durations per shard (a global argsort would gather the batch
+            # across chips inside the rollout hot loop).
+            env.mesh = mesh
         if env.config.observation_mode != "vector":
             raise ValueError(
                 "PPOTrainer requires observation_mode='vector' (dict "

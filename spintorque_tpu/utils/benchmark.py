@@ -73,7 +73,9 @@ def measure_env_throughput(
                 action = make_action(k, env.batch_size, _obs=obs)
             else:
                 action = make_action(k, env.batch_size)
-            state, ts = env._step_impl(state, action)
+            # mesh: the Pallas fast path's duration sort must run per shard
+            # on multi-chip meshes (global argsort => cross-chip gathers).
+            state, ts = env._step_impl(state, action, mesh=mesh)
             return (state, ts.obs), ts.reward.mean()
 
         keys = jax.random.split(key, n_inner)

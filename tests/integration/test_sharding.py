@@ -70,6 +70,45 @@ def test_sharded_env_step_zero_collectives():
             )
 
 
+def test_sharded_step_pallas_zero_collectives():
+    """Round-3 verdict #1: the zero-collectives claim must hold with the
+    PALLAS fast path engaged, not just the XLA fallback. use_pallas is
+    forced on (interpret mode executes the kernel on CPU) and the mesh is
+    passed to the env, so the duration sort runs per shard under shard_map.
+    The compiled HLO must contain NO collectives at all - unlike the XLA
+    path, the per-shard kernel does not even need the scalar max(n)
+    all-reduce (each tile's trip bound is shard-local scalar prefetch)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = make_mesh()
+    env = SpinTorqueEnv(
+        batch_size=64,
+        config=SpinTorqueEnvConfig(include_thermal=False, max_duration=1e-10,
+                                   dtype="float32", use_pallas=True),
+        mesh=mesh,
+    )
+    assert env.config.use_pallas, "fast path did not engage"
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = shard_env_state(state, mesh)
+    actions = shard_batch(
+        jnp.tile(jnp.asarray([[1e5, 1e-10]], jnp.float32), (64, 1)), mesh
+    )
+    with pltpu.force_tpu_interpret_mode():
+        # Execute a real step through the public API (kernel runs, output
+        # stays batch-sharded)...
+        state2, ts = env.step(state, actions)
+        assert len(state2.m.sharding.device_set) == 8
+        assert np.isfinite(np.asarray(ts.obs)).all()
+        # ...and inspect the compiled HLO of the same program.
+        lowered = jax.jit(
+            env._step_impl, static_argnames=("mesh",)
+        ).lower(state, actions, mesh=mesh)
+        hlo = lowered.compile().as_text()
+    for coll in ("all-gather", "collective-permute", "reduce-scatter",
+                 "all-to-all", "all-reduce("):
+        assert coll not in hlo, f"unexpected collective {coll} in Pallas step"
+
+
 def test_sharded_rollout_metrics():
     mesh = make_mesh()
     env = SpinTorqueEnv(

@@ -82,6 +82,100 @@ def test_adaptive_step_control_responds_to_tolerance():
     assert int(tight.n_steps[0]) > int(loose.n_steps[0])
 
 
+def _scipy_radau_same_rhs(m0_single, span, current, rtol=1e-9, atol=1e-12):
+    """Independent integrator for the golden test: scipy's Radau (implicit
+    RK, the stiff method the reference exposes via solve_ivp) on the SAME
+    RHS - per-evaluation renormalization included, exactly like the
+    batched solvers' ``f``."""
+    from scipy.integrate import solve_ivp
+
+    rhs_jit = jax.jit(
+        lambda m: jnp.stack(
+            llgs_solver_rhs(m[0], m[1], m[2], jnp.float64(current), PARAMS)
+        )
+    )
+
+    def rhs(t, y):
+        n = np.linalg.norm(y)
+        y = y / n if n > 1e-12 else np.array([0.0, 0.0, 1.0])
+        return np.asarray(rhs_jit(jnp.asarray(y, jnp.float64)))
+
+    sol = solve_ivp(rhs, (0.0, span), np.asarray(m0_single, float),
+                    method="Radau", rtol=rtol, atol=atol)
+    assert sol.success
+    y = sol.y[:, -1]
+    return y / np.linalg.norm(y)
+
+
+def test_implicit_midpoint_matches_scipy_radau():
+    """Round-3 verdict #7: the stiff-capable implicit path, golden-tested
+    against scipy.integrate.solve_ivp(method='Radau') on the same RHS."""
+    starts = np.array(
+        [[0.3, 0.1, 0.949], [0.0, 0.6, -0.8], [0.9, -0.3, 0.316],
+         [-0.5, 0.5, 0.707]]
+    )
+    starts = starts / np.linalg.norm(starts, axis=-1, keepdims=True)
+    span = 1e-9
+    cur = SMALL_CURRENT
+    m0 = tuple(jnp.asarray(starts[:, c], jnp.float64) for c in range(3))
+    res = integrate_adaptive(
+        m0, jnp.full((4,), span, jnp.float64),
+        jnp.full((4,), cur, jnp.float64), PARAMS,
+        rtol=1e-8, atol=1e-11, dt_max=5e-11, method="radau",
+    )
+    assert bool(res.success.all()), (
+        np.asarray(res.n_steps), np.asarray(res.n_rejected))
+    ours = np.stack([np.asarray(c) for c in res.m], axis=-1)
+    for b in range(4):
+        golden = _scipy_radau_same_rhs(starts[b], span, cur)
+        np.testing.assert_allclose(ours[b], golden, rtol=1e-5, atol=1e-5)
+
+
+def test_implicit_method_names_and_validation():
+    """'radau'/'bdf'/'lsoda'/'midpoint' all select the implicit solver (the
+    reference's scipy stiff names, llgs_solver.py:26,35); unknown methods
+    raise."""
+    import pytest
+
+    m0 = (jnp.asarray([0.4], jnp.float64), jnp.asarray([0.2], jnp.float64),
+          jnp.asarray([0.894], jnp.float64))
+    spans = jnp.asarray([2e-10], jnp.float64)
+    cur = jnp.zeros((1,), jnp.float64)
+    outs = [
+        np.asarray(integrate_adaptive(
+            m0, spans, cur, PARAMS, rtol=1e-7, atol=1e-10, method=meth
+        ).m)
+        for meth in ("radau", "BDF", "lsoda", "midpoint")
+    ]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0])
+    with pytest.raises(ValueError, match="unknown method"):
+        integrate_adaptive(m0, spans, cur, PARAMS, method="rk23")
+
+
+def test_implicit_takes_far_fewer_steps_when_stiff():
+    """The point of A-stability: after the fast precession transient decays,
+    the implicit solver's dt is limited by accuracy only, while the explicit
+    pair stays capped near the precession period (gamma*H_k ~ 4e11 rad/s
+    here => dt <~ 6e-12 s forever). Same tolerance, same RHS, same span."""
+    stiff = PARAMS.replace(damping=0.5)
+    m0 = (jnp.asarray([0.6], jnp.float64), jnp.asarray([0.0], jnp.float64),
+          jnp.asarray([0.8], jnp.float64))
+    spans = jnp.asarray([5e-9], jnp.float64)
+    cur = jnp.zeros((1,), jnp.float64)
+    imp = integrate_adaptive(m0, spans, cur, stiff, rtol=1e-6, atol=1e-9,
+                             dt_max=5e-10, method="radau")
+    exp = integrate_adaptive(m0, spans, cur, stiff, rtol=1e-6, atol=1e-9,
+                             dt_max=5e-10, method="rk45")
+    assert bool(imp.success.all()) and bool(exp.success.all())
+    # Both must land on the same equilibrium (+z for this easy axis)...
+    np.testing.assert_allclose(float(imp.m[2][0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(exp.m[2][0]), 1.0, atol=1e-6)
+    # ...but the implicit method must do it in a fraction of the steps.
+    assert int(imp.n_steps[0]) * 3 < int(exp.n_steps[0]), (
+        int(imp.n_steps[0]), int(exp.n_steps[0]))
+
+
 def test_stable_states_relaxation():
     states = find_stable_states(PARAMS.astype(jnp.float32), n_seeds=32,
                                 relax_time=3e-9)

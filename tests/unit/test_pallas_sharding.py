@@ -1,0 +1,158 @@
+"""Shard-safety of the Pallas fast path (round-3 verdict item #1).
+
+With the env batch sharded over a mesh's 'data' axis, a GLOBAL
+jnp.argsort(-n) in the fast path would force cross-chip all-gathers in the
+hottest loop. integrate_pulse_pallas(mesh=...) instead runs the whole
+sort -> tile -> kernel -> inverse-scatter pipeline PER SHARD under
+jax.shard_map. These tests pin:
+
+  * bitwise equality with the unsharded path (the sort only groups envs
+    into duration buckets; each env's integration is independent), for the
+    +z-specialized RHS, the general tilted-axis RHS, and per-env params
+  * the per-shard PRNG seed decorrelation (each data shard folds its
+    axis index into the kernel seed - without it all shards would draw
+    identical thermal fields, since tile ids repeat per shard)
+  * the thermal path end-to-end under shard_map (threefry-substituted bits;
+    the hardware PRNG itself is validated by scripts/verify_pallas_thermal)
+
+The zero-collectives HLO assertion with the Pallas path ENGAGED lives in
+tests/integration/test_sharding.py::test_sharded_step_pallas_zero_collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from spintorque_tpu.ops.pallas_integrator import (
+    _shard_seed,
+    integrate_pulse_pallas,
+)
+from spintorque_tpu.parallel import make_mesh
+from spintorque_tpu.physics import IntegratorConfig, LLGSParams
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (fake) devices"
+)
+
+PARAMS = LLGSParams(
+    saturation_magnetization=800e3,
+    damping=0.01,
+    uniaxial_anisotropy=1.2e6,
+    volume=1e-23,
+    polarization=0.7,
+    easy_axis=jnp.array([0.0, 0.0, 1.0], jnp.float32),
+).astype(jnp.float32)
+
+
+def _setup(B=256, seed=0):
+    key = jax.random.PRNGKey(seed)
+    m = jax.random.normal(key, (B, 3), jnp.float32)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    spans = jax.random.uniform(jax.random.fold_in(key, 1), (B,), jnp.float32,
+                               5e-11, 3e-10)
+    cur = jax.random.uniform(jax.random.fold_in(key, 2), (B,), jnp.float32,
+                             -200.0, 200.0)
+    return (m[:, 0], m[:, 1], m[:, 2]), spans, cur
+
+
+def _assert_bitwise_equal(sharded, unsharded):
+    (sx, sy, sz), sn, sdt, sfailed = sharded
+    (ux, uy, uz), un, udt, ufailed = unsharded
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(ux))
+    np.testing.assert_array_equal(np.asarray(sy), np.asarray(uy))
+    np.testing.assert_array_equal(np.asarray(sz), np.asarray(uz))
+    np.testing.assert_array_equal(np.asarray(sn), np.asarray(un))
+    np.testing.assert_array_equal(np.asarray(sdt), np.asarray(udt))
+    np.testing.assert_array_equal(np.asarray(sfailed), np.asarray(ufailed))
+
+
+def test_sharded_matches_unsharded_deterministic():
+    m0, spans, cur = _setup()
+    cfg = IntegratorConfig(method="rk4", max_substeps=512)
+    mesh = make_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        ref = integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg)
+        out = integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg, mesh=mesh)
+    _assert_bitwise_equal(out, ref)
+
+
+def test_sharded_matches_unsharded_tilted_axis():
+    """General-RHS operand layout (3 extra easy-axis arrays) under shard_map."""
+    m0, spans, cur = _setup(B=128)
+    tilted = PARAMS.replace(
+        easy_axis=jnp.array([0.6, 0.0, 0.8], jnp.float32)
+    )
+    cfg = IntegratorConfig(method="rk4", max_substeps=512)
+    mesh = make_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        ref = integrate_pulse_pallas(m0, spans, cur, tilted, cfg)
+        out = integrate_pulse_pallas(m0, spans, cur, tilted, cfg, mesh=mesh)
+    _assert_bitwise_equal(out, ref)
+
+
+def test_sharded_per_env_params_ride_local_sort():
+    """(B,) per-env parameters must permute with THEIR env inside each
+    shard's local sort."""
+    B = 64
+    m0, spans, cur = _setup(B=B)
+    per_env = PARAMS.replace(
+        uniaxial_anisotropy=jnp.linspace(8e5, 1.6e6, B, dtype=jnp.float32),
+        damping=jnp.linspace(0.008, 0.02, B, dtype=jnp.float32),
+    )
+    cfg = IntegratorConfig(method="rk4", max_substeps=512)
+    mesh = make_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        ref = integrate_pulse_pallas(m0, spans, cur, per_env, cfg)
+        out = integrate_pulse_pallas(m0, spans, cur, per_env, cfg, mesh=mesh)
+    _assert_bitwise_equal(out, ref)
+
+
+def test_single_data_axis_skips_shard_map():
+    """A mesh whose 'data' axis is 1 wide must take the plain path (no
+    shard_map tracing overhead, no behavior change)."""
+    m0, spans, cur = _setup(B=64)
+    cfg = IntegratorConfig(method="euler", max_substeps=128)
+    mesh = make_mesh(n_data=1, n_model=8)
+    with pltpu.force_tpu_interpret_mode():
+        ref = integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg)
+        out = integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg, mesh=mesh)
+    _assert_bitwise_equal(out, ref)
+
+
+def test_shard_seed_decorrelates_shards():
+    """Each data shard must fold a distinct offset into the kernel seed:
+    the kernel seeds tiles with seed + program_id and tile ids repeat on
+    every shard, so equal seeds would replicate the thermal field across
+    chips. Also: the offset stride must dwarf any realistic per-shard tile
+    count so shard streams cannot collide via program_id overlap."""
+    base = jnp.int32(12345)
+    seeds = np.asarray(
+        [int(_shard_seed(base, jnp.int32(i))) for i in range(64)]
+    )
+    assert len(set(seeds.tolist())) == 64
+    # Max tiles per shard: 65536 envs / 128 lanes / 8 tile-rows = 64 —
+    # adjacent shard seeds must be farther apart than that.
+    assert np.all(np.abs(np.diff(seeds)) > 4096)
+
+
+def test_sharded_thermal_runs(threefry_bits):
+    """Thermal body under shard_map: finite unit-norm output, no failures.
+
+    (Stream decorrelation across shards is seed-level logic covered above;
+    the substituted trace-time bits cannot observe the per-shard seed.)"""
+    m0, spans, cur = _setup(B=128)
+    cfg = IntegratorConfig(
+        method="rk4", max_substeps=512, thermal=True,
+        noise_mode="reference", rk4_noise="per_substep",
+    )
+    mesh = make_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        (mx, my, mz), n, dt, failed = integrate_pulse_pallas(
+            m0, spans, cur, PARAMS, cfg, key=jax.random.PRNGKey(3), mesh=mesh,
+        )
+    m = np.stack([np.asarray(mx), np.asarray(my), np.asarray(mz)], -1)
+    assert np.all(np.isfinite(m))
+    np.testing.assert_allclose(np.linalg.norm(m, axis=-1), 1.0, atol=1e-5)
+    assert not np.asarray(failed).any()
