@@ -30,42 +30,62 @@ from .spin_torque import SpinTorqueEnv, SpinTorqueEnvConfig
 
 
 def _make_spaces(env: SpinTorqueEnv):
+    """Spaces declared in the ENV's float dtype: under jax x64 the env
+    computes float64 observations, and a space that claims float32 then
+    fails gymnasium's official env_checker (and sb3's space checks) on
+    dtype - caught by tests/integration/test_gym_api_compliance.py."""
     cfg = env.config
+    f_dtype = np.dtype(cfg.dtype)
     if cfg.action_mode == "continuous":
         action_space = spaces.Box(
-            low=np.array([-cfg.max_current, 0.0], dtype=np.float32),
-            high=np.array([cfg.max_current, cfg.max_duration], dtype=np.float32),
-            dtype=np.float32,
+            low=np.array([-cfg.max_current, 0.0], dtype=f_dtype),
+            high=np.array([cfg.max_current, cfg.max_duration], dtype=f_dtype),
+            dtype=f_dtype,
         )
     else:
         action_space = spaces.Discrete(env.num_actions)
 
     if cfg.observation_mode == "vector":
         observation_space = spaces.Box(
-            low=-np.inf, high=np.inf, shape=(12,), dtype=np.float32
+            low=-np.inf, high=np.inf, shape=(12,), dtype=f_dtype
         )
     else:
+        # Unit-vector bounds widened by a float epsilon: renormalized
+        # components can land a few ulps outside [-1, 1].
+        unit = 1.0 + 1e-5
         observation_space = spaces.Dict(
             {
-                "magnetization": spaces.Box(-1, 1, shape=(3,), dtype=np.float32),
-                "target": spaces.Box(-1, 1, shape=(3,), dtype=np.float32),
-                "resistance": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
-                "temperature": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
-                "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=int),
-                "energy_consumed": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
-                "last_action": spaces.Box(-np.inf, np.inf, shape=(2,), dtype=np.float32),
+                "magnetization": spaces.Box(-unit, unit, shape=(3,), dtype=f_dtype),
+                "target": spaces.Box(-unit, unit, shape=(3,), dtype=f_dtype),
+                "resistance": spaces.Box(0, np.inf, shape=(1,), dtype=f_dtype),
+                "temperature": spaces.Box(0, np.inf, shape=(1,), dtype=f_dtype),
+                "steps_remaining": spaces.Box(
+                    0, cfg.max_steps, shape=(1,), dtype=np.int32
+                ),
+                "energy_consumed": spaces.Box(0, np.inf, shape=(1,), dtype=f_dtype),
+                "last_action": spaces.Box(-np.inf, np.inf, shape=(2,), dtype=f_dtype),
             }
         )
     return action_space, observation_space
 
 
-def _to_numpy_obs(obs, squeeze: bool):
+def _to_numpy_obs(obs, squeeze: bool, space=None):
+    """Device arrays -> numpy in the DECLARED space dtype (jax may compute
+    in a wider dtype than the space advertises, e.g. weak-typed promotions
+    under x64)."""
     if isinstance(obs, dict):
-        out = {k: np.asarray(v) for k, v in obs.items()}
+        out = {}
+        for k, v in obs.items():
+            arr = np.asarray(v)
+            if space is not None and k in space.spaces:
+                arr = arr.astype(space.spaces[k].dtype, copy=False)
+            out[k] = arr
         if squeeze:
             out = {k: v[0] for k, v in out.items()}
         return out
     arr = np.asarray(obs)
+    if space is not None:
+        arr = arr.astype(space.dtype, copy=False)
     return arr[0] if squeeze else arr
 
 
@@ -158,6 +178,10 @@ class GymSpinTorqueEnv(gym.Env):
         return self._env.config.device_type
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
+        # Seed gymnasium's np_random too (the official env_checker and some
+        # wrappers require super().reset(seed=...) semantics); the actual
+        # sampling runs on the jax PRNG below.
+        super().reset(seed=seed)
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         options = options or {}
@@ -189,7 +213,7 @@ class GymSpinTorqueEnv(gym.Env):
                 np.sum(np.asarray(state.m)[0] * np.asarray(state.target)[0])
             ),
         }
-        return _to_numpy_obs(obs, squeeze=True), info
+        return _to_numpy_obs(obs, squeeze=True, space=self.observation_space), info
 
     def step(self, action):
         if self._state is None:
@@ -201,7 +225,7 @@ class GymSpinTorqueEnv(gym.Env):
         else:
             batched = np.asarray(action)[None, ...]
         self._state, ts = self._env.step(self._state, batched)
-        obs = _to_numpy_obs(ts.obs, squeeze=True)
+        obs = _to_numpy_obs(ts.obs, squeeze=True, space=self.observation_space)
         reward = float(np.asarray(ts.reward)[0])
         terminated = bool(np.asarray(ts.terminated)[0])
         truncated = bool(np.asarray(ts.truncated)[0])
@@ -334,16 +358,20 @@ class VectorSpinTorqueEnv(gym.Env):
         self._state = None
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
+        # Seed gymnasium's np_random too (the official env_checker and some
+        # wrappers require super().reset(seed=...) semantics); the actual
+        # sampling runs on the jax PRNG below.
+        super().reset(seed=seed)
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._key, sub = jax.random.split(self._key)
         self._state, obs = self._env.reset(sub)
-        return _to_numpy_obs(obs, squeeze=False), {}
+        return _to_numpy_obs(obs, squeeze=False, space=self.single_observation_space), {}
 
     def step(self, actions):
         self._state, ts = self._env.step(self._state, jnp.asarray(actions))
         return (
-            _to_numpy_obs(ts.obs, squeeze=False),
+            _to_numpy_obs(ts.obs, squeeze=False, space=self.single_observation_space),
             np.asarray(ts.reward),
             np.asarray(ts.terminated),
             np.asarray(ts.truncated),
@@ -459,6 +487,10 @@ class GymSpinTorqueArrayEnv(gym.Env):
             )
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
+        # Seed gymnasium's np_random too (the official env_checker and some
+        # wrappers require super().reset(seed=...) semantics); the actual
+        # sampling runs on the jax PRNG below.
+        super().reset(seed=seed)
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         options = options or {}
@@ -479,14 +511,14 @@ class GymSpinTorqueArrayEnv(gym.Env):
             state = state.replace(target=jnp.asarray(t, cfg.jnp_dtype)[None])
         self._state = state
         obs = self._env.observe(state)
-        return _to_numpy_obs(obs, squeeze=True), {"step_count": 0}
+        return _to_numpy_obs(obs, squeeze=True, space=self.observation_space), {"step_count": 0}
 
     def step(self, action):
         if self._state is None:
             raise RuntimeError("Environment must be reset before calling step")
         self._state, ts = self._env.step(self._state, np.asarray(action)[None, ...])
         return (
-            _to_numpy_obs(ts.obs, squeeze=True),
+            _to_numpy_obs(ts.obs, squeeze=True, space=self.observation_space),
             float(np.asarray(ts.reward)[0]),
             bool(np.asarray(ts.terminated)[0]),
             bool(np.asarray(ts.truncated)[0]),
@@ -601,6 +633,10 @@ class GymSkyrmionRacetrackEnv(gym.Env):
             )
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
+        # Seed gymnasium's np_random too (the official env_checker and some
+        # wrappers require super().reset(seed=...) semantics); the actual
+        # sampling runs on the jax PRNG below.
+        super().reset(seed=seed)
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         options = options or {}
@@ -616,7 +652,7 @@ class GymSkyrmionRacetrackEnv(gym.Env):
             self._env.set_targets(options["target_positions"])
         self._state = state
         obs = self._env.observe(state)
-        return _to_numpy_obs(obs, squeeze=True), {"step_count": 0}
+        return _to_numpy_obs(obs, squeeze=True, space=self.observation_space), {"step_count": 0}
 
     def step(self, action):
         if self._state is None:
@@ -629,7 +665,7 @@ class GymSkyrmionRacetrackEnv(gym.Env):
             batched = np.asarray(action)[None, ...]
         self._state, ts = self._env.step(self._state, batched)
         return (
-            _to_numpy_obs(ts.obs, squeeze=True),
+            _to_numpy_obs(ts.obs, squeeze=True, space=self.observation_space),
             float(np.asarray(ts.reward)[0]),
             bool(np.asarray(ts.terminated)[0]),
             bool(np.asarray(ts.truncated)[0]),

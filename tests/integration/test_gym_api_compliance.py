@@ -1,0 +1,54 @@
+"""Official Gymnasium API compliance for the sb3-facing adapters.
+
+stable-baselines3 cannot be installed in the build environment (no package
+installs / no network egress; tests/integration/test_sb3_interop.py runs
+the real library in the CI sb3 job instead). What sb3 consumes is exactly
+the Gymnasium env API - spaces, reset/step signatures, dtypes, bounds,
+seeding - so this file runs gymnasium's OWN validator
+(gymnasium.utils.env_checker.check_env, the same checks sb3's
+check_for_correct_spaces / VecEnv wrap path relies on) against every
+adapter mode the reference's CLI exercises
+(/root/reference/spin_torque_gym/cli.py:89-129,257-277).
+"""
+
+import warnings
+
+import pytest
+from gymnasium.utils.env_checker import check_env
+
+from spintorque_tpu.envs.gym_adapter import GymSpinTorqueEnv
+
+FAST = dict(
+    include_thermal_fluctuations=False,
+    max_duration=2e-10,
+    max_steps=8,
+)
+
+
+@pytest.mark.parametrize("action_mode", ["continuous", "discrete"])
+def test_gym_adapter_passes_official_env_checker(action_mode):
+    env = GymSpinTorqueEnv(action_mode=action_mode, **FAST)
+    with warnings.catch_warnings():
+        # The checker warns about non-default render modes etc.; failures
+        # are raised as errors, which is what this test pins.
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
+
+
+def test_gym_adapter_dict_observation_passes_checker():
+    env = GymSpinTorqueEnv(observation_mode="dict", **FAST)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
+
+
+def test_gym_adapter_thermal_passes_checker():
+    """Thermal mode changes the reset/step numerics path (PRNG plumbing);
+    the API contract must hold there too."""
+    env = GymSpinTorqueEnv(
+        action_mode="continuous", include_thermal_fluctuations=True,
+        max_duration=2e-10, max_steps=8,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
