@@ -143,48 +143,73 @@ def main(only=None):
         print(label + ":", round(results[label]["value"]), flush=True)
         flush_json()
 
-    # ---- SpinTorqueArray-v0 (4x4, individual mode) -----------------------
-    if want("array_512_4x4"):
-        arr_env = SpinTorqueArrayEnv(batch_size=512, dtype="float32")
+    # ---- SpinTorqueArray-v0 ladder: batch scaling x action modes ---------
+    # (round-3 verdict #8: non-flagship envs get the same evidentiary
+    # standard as the flagship.) 'column' is structurally identical to
+    # 'row' (same masked decode with cols_idx) and is omitted.
+    array_cases = [
+        ("array_512_4x4", 512, "individual"),
+        ("array_4096_4x4", 4096, "individual"),
+        ("array_65536_4x4", 65536, "individual"),
+        ("array_4096_4x4_row", 4096, "row"),
+        ("array_4096_4x4_global", 4096, "global"),
+    ]
+    for label, batch, mode in array_cases:
+        if not want(label):
+            continue
+        arr_env = SpinTorqueArrayEnv(batch_size=batch, dtype="float32",
+                                     action_mode=mode)
         N = arr_env.config.n_devices
 
-        def arr_action(key, batch):
+        def arr_action(key, batch_, N=N):
             ki, kc, kd = jax.random.split(key, 3)
-            idx = jax.random.randint(ki, (batch,), 0, N).astype(jnp.float32)
-            cur = jax.random.uniform(kc, (batch,), jnp.float32, -2e6, 2e6)
-            dur = jax.random.uniform(kd, (batch,), jnp.float32, 1e-12, 5e-9)
+            idx = jax.random.randint(ki, (batch_,), 0, N).astype(jnp.float32)
+            cur = jax.random.uniform(kc, (batch_,), jnp.float32, -2e6, 2e6)
+            dur = jax.random.uniform(kd, (batch_,), jnp.float32, 1e-12, 5e-9)
             return jnp.stack([idx, cur, dur], axis=-1)
 
         t_wall = time.time()
         rates, _ = measure_env_throughput(
             arr_env, blocks=8, iters_per_block=16, warmup=12,
             make_action=arr_action)
-        results["array_512_4x4"] = _stats(
-            rates, "array_env_steps_per_s_B512_4x4_individual", "env-steps/s",
-            time.time() - t_wall)
-        print("array_512_4x4:", round(results["array_512_4x4"]["value"]), flush=True)
+        results[label] = _stats(
+            rates, f"array_env_steps_per_s_B{batch}_4x4_{mode}",
+            "env-steps/s", time.time() - t_wall)
+        print(label + ":", round(results[label]["value"]), flush=True)
         flush_json()
 
-    # ---- SkyrmionRacetrack-v0 (1 skyrmion, continuous) -------------------
-    if want("skyrmion_4096"):
-        sky_env = SkyrmionRacetrackEnv(batch_size=4096, dtype="float32")
+    # ---- SkyrmionRacetrack-v0 ladder: batch scaling + discrete mode ------
+    sky_cases = [
+        ("skyrmion_512", 512, "continuous"),
+        ("skyrmion_4096", 4096, "continuous"),
+        ("skyrmion_65536", 65536, "continuous"),
+        ("skyrmion_4096_discrete", 4096, "discrete"),
+    ]
+    for label, batch, mode in sky_cases:
+        if not want(label):
+            continue
+        sky_env = SkyrmionRacetrackEnv(batch_size=batch, dtype="float32",
+                                       action_mode=mode)
         mc, mg = sky_env.config.max_current, sky_env.config.max_gradient
+        n_act = sky_env.num_actions
 
-        def sky_action(key, batch):
+        def sky_action(key, batch_, mode=mode, mc=mc, mg=mg, n_act=n_act):
+            if mode == "discrete":
+                return jax.random.randint(key, (batch_,), 0, n_act)
             kj, kg, kd = jax.random.split(key, 3)
-            j = jax.random.uniform(kj, (batch, 2), jnp.float32, -0.5 * mc, 0.5 * mc)
-            g = jax.random.uniform(kg, (batch, 2), jnp.float32, -0.5 * mg, 0.5 * mg)
-            d = jax.random.uniform(kd, (batch, 1), jnp.float32, 1e-12, 2e-9)
+            j = jax.random.uniform(kj, (batch_, 2), jnp.float32, -0.5 * mc, 0.5 * mc)
+            g = jax.random.uniform(kg, (batch_, 2), jnp.float32, -0.5 * mg, 0.5 * mg)
+            d = jax.random.uniform(kd, (batch_, 1), jnp.float32, 1e-12, 2e-9)
             return jnp.concatenate([j, g, d], axis=-1)
 
         t_wall = time.time()
         rates, _ = measure_env_throughput(
             sky_env, blocks=8, iters_per_block=16, warmup=12,
             make_action=sky_action)
-        results["skyrmion_4096"] = _stats(
-            rates, "skyrmion_env_steps_per_s_B4096_continuous", "env-steps/s",
-            time.time() - t_wall)
-        print("skyrmion_4096:", round(results["skyrmion_4096"]["value"]), flush=True)
+        results[label] = _stats(
+            rates, f"skyrmion_env_steps_per_s_B{batch}_{mode}",
+            "env-steps/s", time.time() - t_wall)
+        print(label + ":", round(results[label]["value"]), flush=True)
         flush_json()
 
     # ---- Solver micro-benches: 1000-substep 1 ns pulses ------------------

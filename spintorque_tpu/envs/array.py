@@ -329,7 +329,11 @@ class SpinTorqueArrayEnv:
             "total_energy": state.total_energy[:, None],
         }
 
-    def _step_impl(self, state: ArrayEnvState, action):
+    def _step_impl(self, state: ArrayEnvState, action, mesh=None):
+        # ``mesh`` accepted for step-API uniformity with SpinTorqueEnv
+        # (measurement/rollout harnesses pass it); this env's dynamics
+        # are plain XLA elementwise ops that auto-partition without it.
+        del mesh
         cfg = self.config
         dtype = cfg.jnp_dtype
         B, N = self.batch_size, cfg.n_devices

@@ -327,7 +327,11 @@ class SkyrmionRacetrackEnv:
             "total_energy": state.total_energy[:, None],
         }
 
-    def _step_impl(self, state: SkyrmionEnvState, action):
+    def _step_impl(self, state: SkyrmionEnvState, action, mesh=None):
+        # ``mesh`` accepted for step-API uniformity with SpinTorqueEnv
+        # (measurement/rollout harnesses pass it); this env's dynamics
+        # are plain XLA elementwise ops that auto-partition without it.
+        del mesh
         cfg = self.config
         dtype = cfg.jnp_dtype
         B, n = self.batch_size, cfg.n_skyrmions

@@ -71,6 +71,10 @@ class SpinTorqueEnvConfig(NamedTuple):
     rk4_noise: str = "per_substep"
     autoreset: bool = True
     dtype: str = "float32"
+    # bf16 stage arithmetic in the Pallas kernel (f32 state/normalize) for
+    # sweep workloads that tolerate reduced derivative precision; see
+    # IntegratorConfig.bf16_rhs and docs/BENCH_BF16_TPU_v5e.json.
+    bf16_rhs: bool = False
     # None = auto: enabled on TPU backends when the kernel's specializations
     # cover the device configuration (resolved at env build).
     use_pallas: bool | None = None
@@ -93,6 +97,7 @@ class SpinTorqueEnvConfig(NamedTuple):
             noise_mode=self.noise_mode,
             use_pallas=self.use_pallas,
             rk4_noise=self.rk4_noise,
+            bf16_rhs=self.bf16_rhs,
         )
 
 

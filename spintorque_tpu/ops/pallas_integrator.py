@@ -48,6 +48,11 @@ _TILE_ROWS_OVERRIDE: Optional[int] = None
 # None = per-config default inside _integrate_pulse_pallas. Masked substeps
 # are no-ops, so running ceil(nmax/u) iterations of u body copies is exact.
 _SUBSTEP_UNROLL_OVERRIDE: Optional[int] = None
+# Independent row-group chains per tile, each with its OWN loop bound
+# (scripts/bench_pallas_dual.py). None = per-config default. 1 = the plain
+# single-chain tile; k > 1 = duration bucketing at tile/k granularity via
+# segmented loops (chains retire as their bound is reached).
+_CHAINS_OVERRIDE: Optional[int] = None
 
 _N_STAGES = {"euler": 1, "heun": 2, "rk4": 4}
 
@@ -185,7 +190,7 @@ def _noise_stages(sigma, shape, n_stages):
 
 def _kernel(
     # scalar prefetch
-    nmax_ref,  # (tiles,) int32 in SMEM: per-TILE substep bound
+    nmax_ref,  # (tiles, chains) int32 in SMEM: per-CHAIN substep bound
     seed_ref,  # (1,) int32 in SMEM
     # tensor inputs (VMEM blocks), then outputs; the easy-axis component
     # blocks (ex, ey, ez) are present only when easy_z=False.
@@ -195,171 +200,260 @@ def _kernel(
     easy_z: bool,
     rk4_per_substep: bool,
     unroll: int,
+    chains: int,
+    bf16_rhs: bool,
 ):
-    if easy_z:
-        (mx_ref, my_ref, mz_ref,
-         current_ref, dt_ref, n_ref, sigma_ref,
-         hk_ref, ms_ref, gamma_eff_ref, alpha_ref, stt_ref,
-         ox_ref, oy_ref, oz_ref, failed_ref) = refs
-    else:
-        (mx_ref, my_ref, mz_ref,
-         current_ref, dt_ref, n_ref, sigma_ref,
-         hk_ref, ms_ref, gamma_eff_ref, alpha_ref, stt_ref,
-         ex_ref, ey_ref, ez_ref,
-         ox_ref, oy_ref, oz_ref, failed_ref) = refs
-        ex, ey, ez = ex_ref[:], ey_ref[:], ez_ref[:]
+    n_in = 12 if easy_z else 15
+    in_refs = refs[:n_in]
+    ox_ref, oy_ref, oz_ref, failed_ref = refs[n_in:]
 
-    nmax = nmax_ref[pl.program_id(0)]
+    tile = pl.program_id(0)
     if thermal:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0] + tile)
 
-    mx0, my0, mz0 = mx_ref[:], my_ref[:], mz_ref[:]
-    current = current_ref[:]
-    dt = dt_ref[:]
-    n = n_ref[:]
-    sigma = sigma_ref[:]
-    h_k = hk_ref[:]
-    ms = ms_ref[:]
-    gamma_eff = gamma_eff_ref[:]
-    alpha = alpha_ref[:]
-    stt_c = stt_ref[:]  # already gated on |J| > 1e-12
+    loads = [r[:] for r in in_refs]
 
-    shape = mx0.shape
+    def make_body(vals):
+        """Build one integration chain over the given (rows, LANES) arrays.
+        ``dual`` builds TWO of these over disjoint half-tiles so each loop
+        iteration carries two independent dependency chains - the RK4 body
+        is latency-bound on its serial chain, and explicit second-chain ILP
+        lets the scheduler fill the stalls."""
+        (mx0, my0, mz0, current, dt, n, sigma,
+         h_k, ms, gamma_eff, alpha, stt_c, *axis) = vals
+        if bf16_rhs:
+            # bf16 RHS variant: stage arithmetic in bfloat16, state carry /
+            # accumulation / normalize in f32, noise transcendentals in f32
+            # (cast after scaling). IntegratorConfig.bf16_rhs.
+            def _c(x):
+                return x.astype(jnp.bfloat16)
 
-    def rhs_with_noise(mx, my, mz, noise):
-        """dm/dt; op order mirrors physics/llgs.py for bitwise agreement.
-        easy_z=True specializes e=(0,0,1): the projections collapse and the
-        axis loads disappear (~30% fewer VPU ops in deterministic mode)."""
-        nx, ny, nz = noise
-        if easy_z:
-            anis = h_k * mz  # (m . z) scaled
-            hx = 0.0 + nx
-            hy = 0.0 + ny
-            hz = anis - ms * mz + nz
-            # torque direction: u = m x z = (my, -mx, 0); v = m x u (uz = 0).
-            ux = my
-            uy = -mx
-            vx = -(mz * uy)
-            vy = mz * ux
-            vz = mx * uy - my * ux
-        else:
-            m_dot_e = mx * ex + my * ey + mz * ez
-            anis = h_k * m_dot_e
-            hx = anis * ex + nx
-            hy = anis * ey + ny
-            hz = anis * ez - ms * mz + nz
-            # u = m x e; v = m x u  (llgs.py cross() term order)
-            ux = my * ez - mz * ey
-            uy = mz * ex - mx * ez
-            uz = mx * ey - my * ex
-            vx = my * uz - mz * uy
-            vy = mz * ux - mx * uz
-            vz = mx * uy - my * ux
-        # precession p = m x h
-        px = my * hz - mz * hy
-        py = mz * hx - mx * hz
-        pz = mx * hy - my * hx
-        # damping d = m x p
-        dx = my * pz - mz * py
-        dy = mz * px - mx * pz
-        dz = mx * py - my * px
-        fx = -gamma_eff * (px + alpha * dx) + stt_c * vx
-        fy = -gamma_eff * (py + alpha * dy) + stt_c * vy
-        fz = -gamma_eff * (pz + alpha * dz) + stt_c * vz
-        return fx, fy, fz
-
-    zero_noise = (0.0, 0.0, 0.0)
-
-    def normalize(mx, my, mz):
-        norm = jnp.sqrt(mx * mx + my * my + mz * mz)
-        finite = jnp.isfinite(mx) & jnp.isfinite(my) & jnp.isfinite(mz)
-        ok = finite & (norm >= 1e-12)
-        safe = jnp.where(ok, norm, 1.0)
-        nx, ny, nz = mx / safe, my / safe, mz / safe
-        ok = ok & jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
-        return (
-            jnp.where(ok, nx, 0.0),
-            jnp.where(ok, ny, 0.0),
-            jnp.where(ok, nz, 1.0),
-        )
-
-    def substep(mx, my, mz):
-        if method == "euler":
-            noise = _noise3(sigma, shape) if thermal else zero_noise
-            fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
-            return mx + dt * fx, my + dt * fy, mz + dt * fz
-        if method == "heun":
-            # Stochastic Heun: the corrector reuses the predictor's noise.
-            noise = _noise3(sigma, shape) if thermal else zero_noise
-            fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
-            gx, gy, gz = rhs_with_noise(mx + dt * fx, my + dt * fy, mz + dt * fz, noise)
-            return (
-                mx + 0.5 * dt * (fx + gx),
-                my + 0.5 * dt * (fy + gy),
-                mz + 0.5 * dt * (fz + gz),
+            h_k, ms, gamma_eff, alpha, stt_c = (
+                _c(h_k), _c(ms), _c(gamma_eff), _c(alpha), _c(stt_c)
             )
-        if not thermal:
-            stage = [zero_noise] * 4
-        elif rk4_per_substep:
-            # One field realization across all four stages (IntegratorConfig
-            # .rk4_noise='per_substep'): 2 Box-Muller transforms per substep
-            # instead of 6 - the transcendentals dominate thermal cost.
-            stage = [_noise3(sigma, shape)] * 4
+            axis = [_c(a) for a in axis]
+            dt_c = _c(dt)
         else:
-            stage = _noise_stages(sigma, shape, 4)
-        k1x, k1y, k1z = rhs_with_noise(mx, my, mz, stage[0])
-        k1x, k1y, k1z = dt * k1x, dt * k1y, dt * k1z
-        k2x, k2y, k2z = rhs_with_noise(mx + k1x / 2, my + k1y / 2, mz + k1z / 2, stage[1])
-        k2x, k2y, k2z = dt * k2x, dt * k2y, dt * k2z
-        k3x, k3y, k3z = rhs_with_noise(mx + k2x / 2, my + k2y / 2, mz + k2z / 2, stage[2])
-        k3x, k3y, k3z = dt * k3x, dt * k3y, dt * k3z
-        k4x, k4y, k4z = rhs_with_noise(mx + k3x, my + k3y, mz + k3z, stage[3])
-        k4x, k4y, k4z = dt * k4x, dt * k4y, dt * k4z
-        return (
-            mx + (k1x + 2 * k2x + 2 * k3x + k4x) / 6,
-            my + (k1y + 2 * k2y + 2 * k3y + k4y) / 6,
-            mz + (k1z + 2 * k2z + 2 * k3z + k4z) / 6,
-        )
+            dt_c = dt
+        if not easy_z:
+            ex, ey, ez = axis
+        shape = mx0.shape
 
-    def body(i, carry):
-        # ``failed`` is carried as int32: Mosaic cannot legalize i1 vectors
-        # as scf.for loop carries.
-        mx, my, mz, failed = carry
-        nx, ny, nz = substep(mx, my, mz)
-        nx, ny, nz = normalize(nx, ny, nz)
-        active = i < n
-        zero_row = active & (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
-        return (
-            jnp.where(active, nx, mx),
-            jnp.where(active, ny, my),
-            jnp.where(active, nz, mz),
-            jnp.maximum(failed, zero_row.astype(jnp.int32)),
-        )
+        def cast_state(mx, my, mz):
+            if bf16_rhs:
+                return (
+                    mx.astype(jnp.bfloat16),
+                    my.astype(jnp.bfloat16),
+                    mz.astype(jnp.bfloat16),
+                )
+            return mx, my, mz
 
-    failed0 = jnp.zeros(shape, jnp.int32)
-    if unroll <= 1:
-        mx, my, mz, failed = jax.lax.fori_loop(
-            0, nmax, body, (mx0, my0, mz0, failed0)
-        )
-    else:
-        # Unrolled masked loop: each trip runs ``unroll`` body copies; the
-        # per-env ``i < n`` masks make overshoot iterations exact no-ops
-        # (the thermal PRNG stream advances, which is fine - the kernel
-        # stream is self-defined). Trades scf.for control overhead for
-        # instruction-level parallelism in the latency-bound body.
+        def cast_noise(noise):
+            if bf16_rhs:
+                return tuple(
+                    v.astype(jnp.bfloat16) if hasattr(v, "astype") else v
+                    for v in noise
+                )
+            return noise
+
+        def acc(state, delta):
+            """f32 state + (possibly bf16) delta."""
+            if bf16_rhs:
+                return state + delta.astype(jnp.float32)
+            return state + delta
+
+        def rhs_with_noise(mx, my, mz, noise):
+            """dm/dt; op order mirrors physics/llgs.py for bitwise agreement.
+            easy_z=True specializes e=(0,0,1): the projections collapse and
+            the axis loads disappear (~30% fewer VPU ops deterministic)."""
+            nx, ny, nz = noise
+            if easy_z:
+                anis = h_k * mz  # (m . z) scaled
+                hx = 0.0 + nx
+                hy = 0.0 + ny
+                hz = anis - ms * mz + nz
+                # torque: u = m x z = (my, -mx, 0); v = m x u (uz = 0).
+                ux = my
+                uy = -mx
+                vx = -(mz * uy)
+                vy = mz * ux
+                vz = mx * uy - my * ux
+            else:
+                m_dot_e = mx * ex + my * ey + mz * ez
+                anis = h_k * m_dot_e
+                hx = anis * ex + nx
+                hy = anis * ey + ny
+                hz = anis * ez - ms * mz + nz
+                # u = m x e; v = m x u  (llgs.py cross() term order)
+                ux = my * ez - mz * ey
+                uy = mz * ex - mx * ez
+                uz = mx * ey - my * ex
+                vx = my * uz - mz * uy
+                vy = mz * ux - mx * uz
+                vz = mx * uy - my * ux
+            # precession p = m x h
+            px = my * hz - mz * hy
+            py = mz * hx - mx * hz
+            pz = mx * hy - my * hx
+            # damping d = m x p
+            dx = my * pz - mz * py
+            dy = mz * px - mx * pz
+            dz = mx * py - my * px
+            fx = -gamma_eff * (px + alpha * dx) + stt_c * vx
+            fy = -gamma_eff * (py + alpha * dy) + stt_c * vy
+            fz = -gamma_eff * (pz + alpha * dz) + stt_c * vz
+            return fx, fy, fz
+
+        zero_noise = (0.0, 0.0, 0.0)
+
+        def normalize(mx, my, mz):
+            norm = jnp.sqrt(mx * mx + my * my + mz * mz)
+            finite = jnp.isfinite(mx) & jnp.isfinite(my) & jnp.isfinite(mz)
+            ok = finite & (norm >= 1e-12)
+            safe = jnp.where(ok, norm, 1.0)
+            nx, ny, nz = mx / safe, my / safe, mz / safe
+            ok = ok & jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+            return (
+                jnp.where(ok, nx, 0.0),
+                jnp.where(ok, ny, 0.0),
+                jnp.where(ok, nz, 1.0),
+            )
+
+        def substep_delta(mx, my, mz):
+            """One substep's (dx, dy, dz) increment - in bf16 when
+            bf16_rhs, else f32 with the exact op order of the XLA path."""
+            mx, my, mz = cast_state(mx, my, mz)
+            if method == "euler":
+                noise = cast_noise(_noise3(sigma, shape)) if thermal else zero_noise
+                fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
+                return dt_c * fx, dt_c * fy, dt_c * fz
+            if method == "heun":
+                # Stochastic Heun: corrector reuses the predictor's noise.
+                noise = cast_noise(_noise3(sigma, shape)) if thermal else zero_noise
+                fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
+                gx, gy, gz = rhs_with_noise(
+                    mx + dt_c * fx, my + dt_c * fy, mz + dt_c * fz, noise
+                )
+                return (
+                    0.5 * dt_c * (fx + gx),
+                    0.5 * dt_c * (fy + gy),
+                    0.5 * dt_c * (fz + gz),
+                )
+            if not thermal:
+                stage = [zero_noise] * 4
+            elif rk4_per_substep:
+                # One field realization across all four stages
+                # (rk4_noise='per_substep'): 2 Box-Muller transforms per
+                # substep instead of 6 - transcendentals dominate thermal.
+                stage = [cast_noise(_noise3(sigma, shape))] * 4
+            else:
+                stage = [cast_noise(s) for s in _noise_stages(sigma, shape, 4)]
+            k1x, k1y, k1z = rhs_with_noise(mx, my, mz, stage[0])
+            k1x, k1y, k1z = dt_c * k1x, dt_c * k1y, dt_c * k1z
+            k2x, k2y, k2z = rhs_with_noise(mx + k1x / 2, my + k1y / 2, mz + k1z / 2, stage[1])
+            k2x, k2y, k2z = dt_c * k2x, dt_c * k2y, dt_c * k2z
+            k3x, k3y, k3z = rhs_with_noise(mx + k2x / 2, my + k2y / 2, mz + k2z / 2, stage[2])
+            k3x, k3y, k3z = dt_c * k3x, dt_c * k3y, dt_c * k3z
+            k4x, k4y, k4z = rhs_with_noise(mx + k3x, my + k3y, mz + k3z, stage[3])
+            k4x, k4y, k4z = dt_c * k4x, dt_c * k4y, dt_c * k4z
+            return (
+                (k1x + 2 * k2x + 2 * k3x + k4x) / 6,
+                (k1y + 2 * k2y + 2 * k3y + k4y) / 6,
+                (k1z + 2 * k2z + 2 * k3z + k4z) / 6,
+            )
+
+        def body(i, carry):
+            # ``failed`` is carried as int32: Mosaic cannot legalize i1
+            # vectors as scf.for loop carries.
+            mx, my, mz, failed = carry
+            dx, dy, dz = substep_delta(mx, my, mz)
+            nx, ny, nz = acc(mx, dx), acc(my, dy), acc(mz, dz)
+            nx, ny, nz = normalize(nx, ny, nz)
+            active = i < n
+            zero_row = active & (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
+            return (
+                jnp.where(active, nx, mx),
+                jnp.where(active, ny, my),
+                jnp.where(active, nz, mz),
+                jnp.maximum(failed, zero_row.astype(jnp.int32)),
+            )
+
+        return body, (mx0, my0, mz0, jnp.zeros(shape, jnp.int32))
+
+    def run(body, init, lo, hi):
+        """Masked loop over substep indices [lo, hi) with in-body unroll;
+        returns (carry, end_index) where end_index >= hi is the first index
+        NOT executed (unrolled trips overshoot hi by up to unroll-1).
+        Overshoot iterations are exact no-ops for envs with n <= i (the
+        per-env masks), and the returned end_index lets multi-chain
+        segments resume WITHOUT re-running overshot indices for chains that
+        stay active (re-running would double-advance those envs). The
+        thermal PRNG stream advances through overshoot, which is fine -
+        the kernel stream is self-defined. Unrolling trades scf.for
+        control overhead for ILP in the latency-bound body."""
+        if unroll <= 1:
+            return jax.lax.fori_loop(lo, hi, body, init), hi
+
         def body_u(j, carry):
             for k in range(unroll):
-                carry = body(j * unroll + k, carry)
+                carry = body(lo + j * unroll + k, carry)
             return carry
 
-        trips = (nmax + unroll - 1) // unroll
-        mx, my, mz, failed = jax.lax.fori_loop(
-            0, trips, body_u, (mx0, my0, mz0, failed0)
-        )
-    ox_ref[:] = mx
-    oy_ref[:] = my
-    oz_ref[:] = mz
-    failed_ref[:] = failed
+        trips = (hi - lo + unroll - 1) // unroll
+        return jax.lax.fori_loop(0, trips, body_u, init), lo + trips * unroll
+
+    if chains <= 1:
+        body, init = make_body(loads)
+        (mx, my, mz, failed), _ = run(body, init, 0, nmax_ref[tile, 0])
+        ox_ref[:] = mx
+        oy_ref[:] = my
+        oz_ref[:] = mz
+        failed_ref[:] = failed
+    else:
+        # Multi-chain tile with PER-CHAIN trip counts. The tile splits into
+        # ``chains`` independent row groups; envs are globally sorted by
+        # descending n, so chain 0 holds the longest pulses in the tile and
+        # the per-chain bounds satisfy B0 >= B1 >= ... The loop runs in
+        # SEGMENTS: [0, B_{k-1}) advances every chain (full VPU width +
+        # cross-chain ILP), [B_{k-1}, B_{k-2}) advances all but the last,
+        # ..., [B_1, B_0) advances only chain 0. Work shrinks from
+        # rows*B0 toward sum_c rows_c*B_c - duration bucketing INSIDE the
+        # tile, at chain granularity, without paying narrow-tile iteration
+        # latency while several chains are live. Numerically identical to
+        # the single chain: identical per-lane ops, and every segment
+        # bound only skips iterations the per-env masks would no-op
+        # (tests/unit/test_pallas_unroll.py asserts bitwise equality).
+        rows_per_chain = loads[0].shape[0] // chains
+        bodies = []
+        inits = []
+        for c in range(chains):
+            sl = slice(c * rows_per_chain, (c + 1) * rows_per_chain)
+            b, i0 = make_body([v[sl] for v in loads])
+            bodies.append(b)
+            inits.append(i0)
+
+        def seg_body(active_chains):
+            def body(i, carry):
+                return tuple(
+                    bodies[c](i, carry[c]) if c < active_chains else carry[c]
+                    for c in range(chains)
+                )
+            return body
+
+        carry = tuple(inits)
+        lo = jnp.int32(0)
+        # Segment j advances chains 0..j for i in [B_{j+1}, B_j); ``lo``
+        # threads the unroll-overshoot end forward so no index repeats.
+        for j in range(chains - 1, -1, -1):
+            hi = jnp.maximum(nmax_ref[tile, j], lo)
+            carry, lo = run(seg_body(j + 1), carry, lo, hi)
+        for c in range(chains):
+            sl = slice(c * rows_per_chain, (c + 1) * rows_per_chain)
+            mx, my, mz, failed = carry[c]
+            ox_ref[sl] = mx
+            oy_ref[sl] = my
+            oz_ref[sl] = mz
+            failed_ref[sl] = failed
 
 
 def _pad_rows(x, rows):
@@ -581,18 +675,18 @@ def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
         sigma = jnp.zeros((B,), dtype)
 
     # Reshape (B,) -> (rows, 128), padded to a multiple of the tile rows.
-    # Tile height trades per-iteration VPU width against duration bucketing:
-    # grid tiles serialize on the single TensorCore and each runs only to its
-    # OWN max substep count, so narrower tiles turn the sorted batch into
-    # finer duration buckets (sum-of-tile-maxes -> sum(n)). 16 rows wins for
-    # BOTH modes under the current unroll defaults (docs/
-    # BENCH_TILES_TPU_v5e.json, v5e B=4096 random 0-5 ns: thermal
-    # per_substep+unroll=2 3.68 ms @16 vs 3.82 @8 vs 4.18 @32; det
-    # unroll=4 2.82 @16 vs 3.27 @8 — the round-2 8-row thermal winner was
-    # an artifact of the then-rolled per_stage body). Height still adapts
-    # downward so small batches do not pad to wasted compute.
+    # (The round-2/3 narrow-tile bucketing rationale - 16-row tiles so each
+    # serialized grid tile runs only to its own max n - is superseded by
+    # per-chain bounds; docs/BENCH_TILES_TPU_v5e.json keeps the old sweep.)
     rows = -(-B // LANES)
-    pref_rows = _TILE_ROWS_OVERRIDE or 16
+    # Tile default 32 rows paired with 4 per-bound chains (below): duration
+    # bucketing happens INSIDE the tile at 8-row chain granularity, so the
+    # tile no longer needs to be narrow for bucketing - wide tiles amortize
+    # loop latency while chains are live. Recorded sweep (v5e, B=4096,
+    # random 0-5 ns, medians over fresh compiles, docs/BENCH_DUAL*.json):
+    # det 2.78 ms (16-row single-chain round-3 default) -> 2.57 (32-row,
+    # 4 chains, unroll 16); thermal 3.87 -> 3.49 (4 chains, unroll 4).
+    pref_rows = _TILE_ROWS_OVERRIDE or 32
     rows_per_tile = min(pref_rows, max(8, -(-rows // 8) * 8))
     tiles = -(-rows // rows_per_tile)
     rows_padded = tiles * rows_per_tile
@@ -621,10 +715,25 @@ def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
     if not easy_z:
         args += [to2d(ex_s), to2d(ey_s), to2d(ez_s, fill=1.0)]
 
-    # Per-tile substep bound: envs are sorted by descending n, so each tile's
-    # loop runs only to the max n within that tile (computed as a reduction so
-    # it stays correct even if the sort is disabled).
-    tile_nmax = n_tiled.reshape(tiles, rows_per_tile * LANES).max(axis=1)
+    # Per-CHAIN substep bounds: envs are sorted by descending n, so each of
+    # the tile's ``chains`` row groups runs only to ITS OWN max n (computed
+    # as a reduction so it stays correct even if the sort is disabled; the
+    # segment logic in the kernel additionally maxes against the running
+    # bound, so unsorted bounds degrade to extra masked iterations, never
+    # missed ones... bounds here ARE descending because the global sort is).
+    if _CHAINS_OVERRIDE is None:
+        # Default: 8-row chains, at most 4 per tile (the recorded winner at
+        # 32-row tiles; narrower chains are sub-vreg and regress - see
+        # chains=8 rows in docs/BENCH_DUAL2_TPU_v5e.json).
+        chains = min(4, max(1, rows_per_tile // 8))
+    else:
+        chains = max(1, int(_CHAINS_OVERRIDE))
+    if rows_per_tile % chains:
+        chains = 1
+    rows_per_chain = rows_per_tile // chains
+    chain_nmax = n_tiled.reshape(
+        tiles, chains, rows_per_chain * LANES
+    ).max(axis=2)  # (tiles, chains)
 
     block = (rows_per_tile, LANES)
     # index_map receives (grid_idx, *scalar_prefetch_refs).
@@ -637,20 +746,21 @@ def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
         in_specs=[tensor_spec] * len(args),
         out_specs=[tensor_spec] * 4,
     )
-    # In-kernel unroll defaults per the recorded per-noise-mode sweep
-    # (docs/BENCH_UNROLL_TPU_v5e.json, v5e B=4096 random 0-5 ns spans):
-    # thermal per_substep (the env default body) 4.58 -> 3.89 ms at
-    # unroll=2 (+18%; 4 is flat, 8 a coin flip, 16 regresses 4.05 ms);
-    # thermal per_stage 5.56 -> 5.21 ms at unroll=2. Deterministic is
-    # fastest AND stable across fresh compiles at unroll=8 (2.70-2.85 ms
-    # over 3 trials; unroll=4's compiled schedule varies 2.82-3.48 ms and
-    # the rolled loop's is bimodal 2.8/4.7 ms). Masked overshoot
-    # iterations are exact no-ops, so any unroll is numerically identical
-    # (tests/unit/test_pallas_unroll.py).
+    # Masked overshoot iterations are exact no-ops, so any unroll is
+    # numerically identical (tests/unit/test_pallas_unroll.py). The round-3
+    # single-chain sweep lives in docs/BENCH_UNROLL_TPU_v5e.json; defaults
+    # below follow the round-4 chains-aware sweep.
     kernel = functools.partial(
         _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
         rk4_per_substep=(config.rk4_noise == "per_substep"),
-        unroll=_SUBSTEP_UNROLL_OVERRIDE or (2 if config.thermal else 8),
+        # Per the round-4 multi-trial sweep under the chains=4/32-row
+        # defaults (docs/BENCH_DUAL3/4_TPU_v5e.json medians): thermal
+        # per_substep is fastest-stable at unroll=4 (3.37-3.60 ms across 4
+        # fresh compiles; 16 hits a 4.17 ms schedule outlier), deterministic
+        # at unroll=16 (2.51-2.75 ms).
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or (4 if config.thermal else 16),
+        chains=chains,
+        bf16_rhs=bool(config.bf16_rhs),
     )
     ox, oy, oz, failed = pl.pallas_call(
         kernel,
@@ -662,7 +772,7 @@ def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
             jax.ShapeDtypeStruct((rows_padded, LANES), jnp.int32),
         ],
     )(
-        tile_nmax.astype(jnp.int32),
+        chain_nmax.astype(jnp.int32),
         jnp.asarray([seed], jnp.int32),
         *args,
     )

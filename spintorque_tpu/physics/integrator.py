@@ -64,6 +64,13 @@ class IntegratorConfig(NamedTuple):
     #                   already works this way) - and 4x less sampling work,
     #                   which dominates the thermal hot loop on TPU.
     rk4_noise: str = "per_stage"
+    # bf16 RHS variant of the Pallas kernel (sweep workloads that tolerate
+    # reduced derivative precision): stage arithmetic runs in bfloat16 while
+    # the carried state, accumulation, renormalization, and the noise
+    # transcendentals stay float32. Kernel-only knob - the XLA fallback and
+    # the parity paths always compute in full precision. Recorded speed and
+    # accuracy-vs-f32: docs/BENCH_BF16_TPU_v5e.json.
+    bf16_rhs: bool = False
 
 
 def max_substeps_for(max_duration: float, max_step: float = 1e-12) -> int:

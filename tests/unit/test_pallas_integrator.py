@@ -233,3 +233,38 @@ def test_pallas_noise_statistics(threefry_bits):
     # cos/sin halves of the same transform must be uncorrelated.
     corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1]
     assert abs(corr) < 0.05
+
+
+def test_bf16_rhs_variant_accuracy_and_gating():
+    """IntegratorConfig.bf16_rhs: bf16 stage arithmetic with f32 state
+    accumulation. Pins (a) the variant runs and stays on the unit sphere,
+    (b) it REALLY computes in bf16 (nonzero deviation from f32 - an earlier
+    harness used torque-dominated currents whose dynamics snap both
+    variants onto the exact (0,0,1) fixed point, hiding a would-be wiring
+    bug), and (c) the deviation stays within the bf16 phase-drift bound
+    for a <=300-substep precession pulse. The workload is zero-current
+    precession + damping: no attractor snap, so rounding differences
+    accumulate and are observable."""
+    m0, spans, _ = _setup(B=256, seed=3)
+    cur = jnp.zeros_like(spans)
+    cfg32 = IntegratorConfig(method="rk4", max_substeps=512)
+    cfg16 = cfg32._replace(bf16_rhs=True)
+    with pltpu.force_tpu_interpret_mode():
+        (ax, ay, az), n32, _, f32_failed = integrate_pulse_pallas(
+            m0, spans, cur, PARAMS.astype(jnp.float32), cfg32)
+        (bx, by, bz), n16, _, f16_failed = integrate_pulse_pallas(
+            m0, spans, cur, PARAMS.astype(jnp.float32), cfg16)
+    a = np.stack([np.asarray(ax), np.asarray(ay), np.asarray(az)], -1)
+    b = np.stack([np.asarray(bx), np.asarray(by), np.asarray(bz)], -1)
+    assert np.all(np.isfinite(b))
+    np.testing.assert_allclose(np.linalg.norm(b, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n32), np.asarray(n16))
+    assert not np.asarray(f16_failed).any()
+    # Engagement: bf16 rounding must actually perturb the trajectories...
+    cosang = np.clip(np.sum(a * b, axis=-1), -1.0, 1.0)
+    ang = np.degrees(np.arccos(cosang))
+    assert ang.max() > 1e-3, "bf16_rhs produced bitwise-f32 results"
+    # ...and stay within the phase-drift bound (~0.4% per-substep relative
+    # field error accumulating over <=300 substeps of ~0.1 rad precession).
+    assert ang.mean() < 6.0, ang.mean()
+    assert ang.max() < 25.0, ang.max()
