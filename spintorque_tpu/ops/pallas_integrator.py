@@ -40,9 +40,9 @@ from ..physics.integrator import IntegratorConfig, substep_counts
 from ..physics.llgs import LLGSParams
 
 LANES = 128
-# Tuning knob for scripts/bench_pallas_tiles.py; None = per-config default
-# chosen inside _integrate_pulse_pallas (16 rows, both modes - see the
-# tile-height comment there and docs/BENCH_TILES_TPU_v5e.json).
+# Tuning knob for scripts/bench_pallas_tiles.py / bench_pallas_dual.py;
+# None = per-config default chosen inside _pallas_core (32 rows paired with
+# 4 per-bound chains - see the tile comment there and docs/BENCH_DUAL*.json).
 _TILE_ROWS_OVERRIDE: Optional[int] = None
 # In-kernel substep-loop unroll factor (scripts/bench_pallas_unroll.py);
 # None = per-config default inside _integrate_pulse_pallas. Masked substeps
@@ -130,7 +130,7 @@ def tpu_kernel_available() -> bool:
 
 def _normal_pair_from_bits(shape):
     """Two independent standard normals per Box-Muller transform (using both
-    the cos and sin halves costs one log/sqrt per TWO draws).
+    halves costs one log per TWO draws).
 
     prng_random_bits returns SIGNED int32 in this JAX version, so a naive
     .astype(float32) makes half the draws negative and log(u1) NaN - the
@@ -138,12 +138,29 @@ def _normal_pair_from_bits(shape):
     normalize fallback. Mosaic also cannot lower uint32->f32 casts, so
     uniforms are built with the mantissa-bitcast trick: keep 23 random
     mantissa bits under exponent 0x3F8 to get f in [1, 2), subtract 1.
+
+    The classical sin half is replaced by eps*sqrt(r^2 - z0^2) with eps an
+    independent random sign: conditioned on cos(theta), theta uniform makes
+    sign(sin(theta)) a fair coin independent of |sin| = sqrt(1-cos^2), so
+    the pair's joint distribution is EXACTLY Box-Muller's (no tail
+    truncation - the Neel-Brown switching-rate test gates that), while a
+    VPU sqrt is much cheaper than a sin polynomial. The sign comes from
+    bit 31 of the theta word, disjoint from the 23 mantissa bits the
+    uniform consumes. Validated by the KS/moment tests in
+    tests/unit/test_pallas_integrator.py (which also check half-to-half
+    independence).
     """
     u1 = 1.0 - _uniform_from_bits(shape)  # (0, 1] - safe for log
-    u2 = _uniform_from_bits(shape)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = (2.0 * math.pi) * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta)
+    bits2 = _prng_random_bits(shape)
+    mant2 = jnp.bitwise_or(
+        jnp.bitwise_and(bits2, jnp.int32(0x7FFFFF)), jnp.int32(0x3F800000)
+    )
+    u2 = pltpu.bitcast(mant2, jnp.float32) - 1.0
+    r2 = -2.0 * jnp.log(u1)
+    z0 = jnp.sqrt(r2) * jnp.cos((2.0 * math.pi) * u2)
+    eps = jnp.where(bits2 < 0, -1.0, 1.0)  # sign bit of the theta word
+    z1 = eps * jnp.sqrt(jnp.maximum(r2 - z0 * z0, 0.0))
+    return z0, z1
 
 
 # Raw-bits source, indirected so tests can substitute a threefry-based
@@ -162,30 +179,40 @@ def _uniform_from_bits(shape):
     return pltpu.bitcast(mant, jnp.float32) - 1.0
 
 
+# Trace-time spare buffer for Box-Muller's second half. Each transform
+# yields TWO normals but a 3-component field draw needs an odd count; the
+# spare carries the leftover to the NEXT draw in the same loop-body trace,
+# so an unrolled body of u thermal substeps costs ceil(3u/2) transforms
+# instead of 2u (the transcendentals dominate thermal cost - measured 0.74
+# of the 0.80 ms thermal-vs-det kernel gap at B=4096). The buffer holds
+# TRACERS, so it must never cross a trace boundary: it is cleared at every
+# loop-body entry (see run() in _kernel) and at kernel entry. Spares are
+# unscaled (sigma applied at use), so carrying one across chain boundaries
+# inside a segment body is exact - iid draws have no order.
+_SPARE: list = []
+
+
+def _normal_from_bits(shape):
+    """One standard normal; every Box-Muller half is eventually used."""
+    if _SPARE and _SPARE[-1].shape == shape:
+        return _SPARE.pop()
+    a, b = _normal_pair_from_bits(shape)
+    _SPARE.append(b)
+    return a
+
+
 def _noise3(sigma, shape):
-    """Three scaled normal fields from two Box-Muller transforms."""
-    n0, n1 = _normal_pair_from_bits(shape)
-    n2, _ = _normal_pair_from_bits(shape)
-    return sigma * n0, sigma * n1, sigma * n2
+    """Three scaled normal fields (1.5 transforms amortized via _SPARE)."""
+    return (
+        sigma * _normal_from_bits(shape),
+        sigma * _normal_from_bits(shape),
+        sigma * _normal_from_bits(shape),
+    )
 
 
 def _noise_stages(sigma, shape, n_stages):
-    """Per-stage (nx, ny, nz) noise for all RK stages of one substep.
-
-    Drawing the whole substep's 3*n_stages normals up front uses every
-    Box-Muller output (ceil(3n/2) transforms instead of 2n) - the
-    transcendentals (log/sqrt/cos/sin) dominate thermal-path cost, so for
-    RK4 this trims the noise work by 25%.
-    """
-    total = 3 * n_stages
-    draws = []
-    while len(draws) < total:
-        a, b = _normal_pair_from_bits(shape)
-        draws.extend([a, b])
-    return [
-        (sigma * draws[3 * s], sigma * draws[3 * s + 1], sigma * draws[3 * s + 2])
-        for s in range(n_stages)
-    ]
+    """Per-stage (nx, ny, nz) noise for all RK stages of one substep."""
+    return [_noise3(sigma, shape) for _ in range(n_stages)]
 
 
 def _kernel(
@@ -210,6 +237,7 @@ def _kernel(
     tile = pl.program_id(0)
     if thermal:
         pltpu.prng_seed(seed_ref[0] + tile)
+    _SPARE.clear()  # never reuse a draw tracer from another trace
 
     loads = [r[:] for r in in_refs]
 
@@ -392,9 +420,14 @@ def _kernel(
         the kernel stream is self-defined. Unrolling trades scf.for
         control overhead for ILP in the latency-bound body."""
         if unroll <= 1:
-            return jax.lax.fori_loop(lo, hi, body, init), hi
+            def body1(i, carry):
+                _SPARE.clear()  # spare tracers must not cross the body trace
+                return body(i, carry)
+
+            return jax.lax.fori_loop(lo, hi, body1, init), hi
 
         def body_u(j, carry):
+            _SPARE.clear()  # fresh per body trace; amortizes WITHIN the trip
             for k in range(unroll):
                 carry = body(lo + j * unroll + k, carry)
             return carry
@@ -454,6 +487,7 @@ def _kernel(
             oy_ref[sl] = my
             oz_ref[sl] = mz
             failed_ref[sl] = failed
+    _SPARE.clear()  # do not hold this trace's tracers past kernel trace end
 
 
 def _pad_rows(x, rows):
@@ -753,12 +787,13 @@ def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
     kernel = functools.partial(
         _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
         rk4_per_substep=(config.rk4_noise == "per_substep"),
-        # Per the round-4 multi-trial sweep under the chains=4/32-row
-        # defaults (docs/BENCH_DUAL3/4_TPU_v5e.json medians): thermal
-        # per_substep is fastest-stable at unroll=4 (3.37-3.60 ms across 4
-        # fresh compiles; 16 hits a 4.17 ms schedule outlier), deterministic
-        # at unroll=16 (2.51-2.75 ms).
-        unroll=_SUBSTEP_UNROLL_OVERRIDE or (4 if config.thermal else 16),
+        # Per the round-4 multi-trial sweeps under the chains=4/32-row
+        # defaults: deterministic fastest at unroll=16 (2.51-2.75 ms,
+        # docs/BENCH_DUAL4_TPU_v5e.json); thermal per_substep - re-swept
+        # after the amortized-sampler change - at unroll=8 (3.16-3.31 ms
+        # over 5 fresh compiles, docs/BENCH_DUAL5/6_TPU_v5e.json; 4 gives
+        # 3.28-3.34, 2 gives 3.41).
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or (8 if config.thermal else 16),
         chains=chains,
         bf16_rhs=bool(config.bf16_rhs),
     )
