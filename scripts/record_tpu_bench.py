@@ -159,11 +159,19 @@ def main(only=None):
             continue
         arr_env = SpinTorqueArrayEnv(batch_size=batch, dtype="float32",
                                      action_mode=mode)
-        N = arr_env.config.n_devices
+        # Selector range follows the action mode's decode clip (review
+        # finding: drawing 0..N-1 in 'row' mode piled 13/16 of actions onto
+        # the last row). 'global' ignores the selector slot entirely.
+        sel_hi = {
+            "individual": arr_env.config.n_devices,
+            "row": arr_env.config.rows,
+            "column": arr_env.config.cols,
+            "global": 1,
+        }[mode]
 
-        def arr_action(key, batch_, N=N):
+        def arr_action(key, batch_, sel_hi=sel_hi):
             ki, kc, kd = jax.random.split(key, 3)
-            idx = jax.random.randint(ki, (batch_,), 0, N).astype(jnp.float32)
+            idx = jax.random.randint(ki, (batch_,), 0, sel_hi).astype(jnp.float32)
             cur = jax.random.uniform(kc, (batch_,), jnp.float32, -2e6, 2e6)
             dur = jax.random.uniform(kd, (batch_,), jnp.float32, 1e-12, 5e-9)
             return jnp.stack([idx, cur, dur], axis=-1)

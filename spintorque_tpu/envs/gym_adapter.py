@@ -445,7 +445,11 @@ class GymSpinTorqueArrayEnv(gym.Env):
         self.n_devices = cfg.n_devices
 
     def _setup_spaces(self):
+        # Spaces in the env's float dtype, like _make_spaces: under x64 the
+        # env computes float64 and a float32 space would either fail the
+        # official env_checker or force a lossy downcast at the boundary.
         cfg = self._env.config
+        f_dtype = np.dtype(cfg.dtype)
         N, R, C = cfg.n_devices, cfg.rows, cfg.cols
         if cfg.action_mode == "individual":
             hi0 = N - 1
@@ -457,32 +461,36 @@ class GymSpinTorqueArrayEnv(gym.Env):
             hi0 = None
         if hi0 is None:  # global
             self.action_space = spaces.Box(
-                low=np.array([-cfg.max_current, 0.0], np.float32),
-                high=np.array([cfg.max_current, cfg.max_duration], np.float32),
-                dtype=np.float32,
+                low=np.array([-cfg.max_current, 0.0], f_dtype),
+                high=np.array([cfg.max_current, cfg.max_duration], f_dtype),
+                dtype=f_dtype,
             )
         else:
             self.action_space = spaces.Box(
-                low=np.array([0, -cfg.max_current, 0.0], np.float32),
-                high=np.array([hi0, cfg.max_current, cfg.max_duration], np.float32),
-                dtype=np.float32,
+                low=np.array([0, -cfg.max_current, 0.0], f_dtype),
+                high=np.array([hi0, cfg.max_current, cfg.max_duration], f_dtype),
+                dtype=f_dtype,
             )
+        unit = 1.0 + 1e-5  # renormalized components can sit a few ulps out
         if cfg.observation_mode == "array":
             self.observation_space = spaces.Box(
-                low=-1, high=1, shape=(R, C, 6), dtype=np.float32
+                low=-unit, high=unit, shape=(R, C, 6), dtype=f_dtype
             )
         elif cfg.observation_mode == "vector":
             self.observation_space = spaces.Box(
-                low=-np.inf, high=np.inf, shape=(N * 6 + 4,), dtype=np.float32
+                low=-np.inf, high=np.inf, shape=(N * 6 + 4,), dtype=f_dtype
             )
         else:
             self.observation_space = spaces.Dict(
                 {
-                    "current_pattern": spaces.Box(-1, 1, shape=(R, C, 3), dtype=np.float32),
-                    "target_pattern": spaces.Box(-1, 1, shape=(R, C, 3), dtype=np.float32),
-                    "pattern_similarity": spaces.Box(0, 1, shape=(1,), dtype=np.float32),
-                    "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=int),
-                    "total_energy": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
+                    "current_pattern": spaces.Box(-unit, unit, shape=(R, C, 3), dtype=f_dtype),
+                    "target_pattern": spaces.Box(-unit, unit, shape=(R, C, 3), dtype=f_dtype),
+                    # Mean alignment (dot product) with the target pattern:
+                    # genuinely ranges over [-1, 1], not [0, 1] - the
+                    # official env_checker caught the old [0, 1] claim.
+                    "pattern_similarity": spaces.Box(-unit, unit, shape=(1,), dtype=f_dtype),
+                    "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=np.int32),
+                    "total_energy": spaces.Box(0, np.inf, shape=(1,), dtype=f_dtype),
                 }
             )
 
@@ -599,36 +607,38 @@ class GymSkyrmionRacetrackEnv(gym.Env):
         self.track_length = track_length
 
     def _setup_spaces(self):
+        # Spaces in the env's float dtype (see _make_spaces rationale).
         cfg = self._env.config
+        f_dtype = np.dtype(cfg.dtype)
         n = cfg.n_skyrmions
         if cfg.action_mode == "continuous":
             self.action_space = spaces.Box(
                 low=np.array(
                     [-cfg.max_current, -cfg.max_current,
-                     -cfg.max_gradient, -cfg.max_gradient, 0.0], np.float32
+                     -cfg.max_gradient, -cfg.max_gradient, 0.0], f_dtype
                 ),
                 high=np.array(
                     [cfg.max_current, cfg.max_current,
-                     cfg.max_gradient, cfg.max_gradient, 2e-9], np.float32
+                     cfg.max_gradient, cfg.max_gradient, 2e-9], f_dtype
                 ),
-                dtype=np.float32,
+                dtype=f_dtype,
             )
         else:
             self.action_space = spaces.Discrete(self._env.num_actions)
         if cfg.observation_mode == "vector":
             obs_size = n * 4 + n * 2 + 4
             self.observation_space = spaces.Box(
-                low=-np.inf, high=np.inf, shape=(obs_size,), dtype=np.float32
+                low=-np.inf, high=np.inf, shape=(obs_size,), dtype=f_dtype
             )
         else:
             self.observation_space = spaces.Dict(
                 {
-                    "positions": spaces.Box(0, cfg.track_length, shape=(n, 2), dtype=np.float32),
-                    "velocities": spaces.Box(-np.inf, np.inf, shape=(n, 2), dtype=np.float32),
-                    "target_positions": spaces.Box(0, cfg.track_length, shape=(n,), dtype=np.float32),
-                    "position_errors": spaces.Box(0, np.inf, shape=(n,), dtype=np.float32),
-                    "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=int),
-                    "total_energy": spaces.Box(0, np.inf, shape=(1,), dtype=np.float32),
+                    "positions": spaces.Box(0, cfg.track_length, shape=(n, 2), dtype=f_dtype),
+                    "velocities": spaces.Box(-np.inf, np.inf, shape=(n, 2), dtype=f_dtype),
+                    "target_positions": spaces.Box(0, cfg.track_length, shape=(n,), dtype=f_dtype),
+                    "position_errors": spaces.Box(0, np.inf, shape=(n,), dtype=f_dtype),
+                    "steps_remaining": spaces.Box(0, cfg.max_steps, shape=(1,), dtype=np.int32),
+                    "total_energy": spaces.Box(0, np.inf, shape=(1,), dtype=f_dtype),
                 }
             )
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -186,10 +187,44 @@ def _uniform_from_bits(shape):
 # instead of 2u (the transcendentals dominate thermal cost - measured 0.74
 # of the 0.80 ms thermal-vs-det kernel gap at B=4096). The buffer holds
 # TRACERS, so it must never cross a trace boundary: it is cleared at every
-# loop-body entry (see run() in _kernel) and at kernel entry. Spares are
-# unscaled (sigma applied at use), so carrying one across chain boundaries
-# inside a segment body is exact - iid draws have no order.
-_SPARE: list = []
+# loop-body entry (see run() in _kernel) and at kernel entry - and it is
+# THREAD-LOCAL, since two kernels may trace concurrently (e.g. the
+# coalescing solver pool's daemon thread compiling a pulse while the main
+# thread compiles an env step) and a shared list would hand one trace's
+# tracer to the other. Spares are unscaled (sigma applied at use), so
+# carrying one across chain boundaries inside a segment body is exact -
+# iid draws have no order.
+_SPARE_TLS = threading.local()
+
+
+class _Spare:
+    """Module-level facade so _SPARE.clear()/use sites stay simple while the
+    storage is per-thread."""
+
+    @staticmethod
+    def _list():
+        lst = getattr(_SPARE_TLS, "lst", None)
+        if lst is None:
+            lst = _SPARE_TLS.lst = []
+        return lst
+
+    def clear(self):
+        self._list().clear()
+
+    def pop(self):
+        return self._list().pop()
+
+    def append(self, x):
+        self._list().append(x)
+
+    def __bool__(self):
+        return bool(self._list())
+
+    def __getitem__(self, i):
+        return self._list()[i]
+
+
+_SPARE = _Spare()
 
 
 def _normal_from_bits(shape):
@@ -453,9 +488,13 @@ def _kernel(
         # rows*B0 toward sum_c rows_c*B_c - duration bucketing INSIDE the
         # tile, at chain granularity, without paying narrow-tile iteration
         # latency while several chains are live. Numerically identical to
-        # the single chain: identical per-lane ops, and every segment
-        # bound only skips iterations the per-env masks would no-op
-        # (tests/unit/test_pallas_unroll.py asserts bitwise equality).
+        # the single chain in DETERMINISTIC mode: identical per-lane ops,
+        # and every segment bound only skips iterations the per-env masks
+        # would no-op (tests/unit/test_pallas_unroll.py asserts bitwise
+        # equality). Thermal results are statistically equivalent but not
+        # bitwise comparable across chains/unroll/tile knobs - retiring a
+        # chain stops its PRNG draws, so the realization depends on the
+        # loop structure (the kernel stream is self-defined).
         rows_per_chain = loads[0].shape[0] // chains
         bodies = []
         inits = []
@@ -529,7 +568,14 @@ def integrate_pulse_pallas(
     neighbors (tests/unit/test_pallas_sharding.py asserts bitwise equality).
     """
     easy_z = _is_plus_z(params.easy_axis)
-    if mesh is not None and dict(mesh.shape).get(data_axis, 1) > 1:
+    n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
+    B = jnp.shape(m0[0])[0]
+    # shard_map requires B % n_data == 0. Batches that do not divide the
+    # mesh were never shardable over 'data' in the first place -
+    # parallel.shard_env_state replicates them - so fall back to the plain
+    # path (GSPMD handles replicated operands) instead of crashing at
+    # trace time (review finding).
+    if n_data > 1 and B % n_data == 0:
         return _integrate_pulse_pallas_sharded(
             m0, span, current, params, config, key, temperature,
             easy_z=easy_z, mesh=mesh, data_axis=data_axis,

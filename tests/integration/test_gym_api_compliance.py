@@ -42,6 +42,30 @@ def test_gym_adapter_dict_observation_passes_checker():
         check_env(env, skip_render_check=True)
 
 
+@pytest.mark.parametrize("observation_mode", ["array", "vector", "dict"])
+def test_array_adapter_passes_checker(observation_mode):
+    from spintorque_tpu.envs.gym_adapter import GymSpinTorqueArrayEnv
+
+    env = GymSpinTorqueArrayEnv(
+        array_size=(2, 2), observation_mode=observation_mode, max_steps=4,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
+
+
+@pytest.mark.parametrize("observation_mode", ["vector", "dict"])
+def test_skyrmion_adapter_passes_checker(observation_mode):
+    from spintorque_tpu.envs.gym_adapter import GymSkyrmionRacetrackEnv
+
+    env = GymSkyrmionRacetrackEnv(
+        observation_mode=observation_mode, max_steps=4,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
+
+
 def test_gym_adapter_thermal_passes_checker():
     """Thermal mode changes the reset/step numerics path (PRNG plumbing);
     the API contract must hold there too."""

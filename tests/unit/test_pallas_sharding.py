@@ -156,3 +156,16 @@ def test_sharded_thermal_runs(threefry_bits):
     assert np.all(np.isfinite(m))
     np.testing.assert_allclose(np.linalg.norm(m, axis=-1), 1.0, atol=1e-5)
     assert not np.asarray(failed).any()
+
+
+def test_indivisible_batch_falls_back_to_unsharded():
+    """B not divisible by the 'data' axis was never shardable (shard_env_state
+    replicates such batches); the fast path must fall back to the plain jit
+    path instead of crashing in shard_map at trace time (review finding)."""
+    m0, spans, cur = _setup(B=100)
+    cfg = IntegratorConfig(method="rk4", max_substeps=512)
+    mesh = make_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        ref = integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg)
+        out = integrate_pulse_pallas(m0, spans, cur, PARAMS, cfg, mesh=mesh)
+    _assert_bitwise_equal(out, ref)
