@@ -9,6 +9,10 @@ policy comparison - as classical population methods whose populations
 evaluate in single vmapped physics calls on TPU.
 """
 
+from .sweeps import (
+    parameter_ladder_sweep,
+    switching_probability_diagram,
+)
 from .comparative_algorithms import (
     ComparativeAnalysis,
     OptimalControlBaseline,
@@ -62,6 +66,8 @@ __all__ = [
     "OptimalControlBaseline",
     "PhysicsInformedRL",
     "run_comprehensive_benchmark",
+    "parameter_ladder_sweep",
+    "switching_probability_diagram",
     "AdaptiveMetaLearner",
     "Hypothesis",
     "HypothesisDrivenExperimentEngine",
