@@ -250,6 +250,46 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Switching-probability phase diagram over a (current, duration) grid
+    (research/sweeps.py) - one sharded batch through the pulse integrator."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .devices import make_device_params
+    from .parallel import make_mesh
+    from .research.sweeps import switching_probability_diagram
+
+    params = make_device_params(args.device_type, None, dtype=jnp.float32).llgs()
+    currents = jnp.linspace(args.current_min, args.current_max, args.n_currents)
+    durations = jnp.linspace(args.duration_min, args.duration_max,
+                             args.n_durations)
+    out = switching_probability_diagram(
+        params, currents, durations, n_ensemble=args.ensemble,
+        temperature=args.temperature, key=jax.random.PRNGKey(args.seed),
+        mesh=make_mesh(),
+    )
+    result = {
+        "device_type": args.device_type,
+        "temperature": args.temperature,
+        "ensemble": args.ensemble,
+        "currents": np.asarray(out["currents"]).tolist(),
+        "durations": np.asarray(out["durations"]).tolist(),
+        "p_switch": np.asarray(out["p_switch"]).tolist(),
+    }
+    text = _json.dumps(result, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="spintorque-tpu",
@@ -287,6 +327,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--inner", type=int, default=16)
     sp.add_argument("--no-thermal", action="store_true")
     sp.set_defaults(func=_cmd_benchmark)
+
+    sp = sub.add_parser(
+        "sweep",
+        help="switching-probability phase diagram over a (J, duration) grid",
+    )
+    sp.add_argument("--device-type", default="stt_mram")
+    sp.add_argument("--current-min", type=float, default=-4e6)
+    sp.add_argument("--current-max", type=float, default=0.0)
+    sp.add_argument("--n-currents", type=int, default=16)
+    sp.add_argument("--duration-min", type=float, default=1e-10)
+    sp.add_argument("--duration-max", type=float, default=2e-9)
+    sp.add_argument("--n-durations", type=int, default=16)
+    sp.add_argument("--ensemble", type=int, default=64)
+    sp.add_argument("--temperature", type=float, default=300.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--output", default=None, help="write JSON here")
+    sp.set_defaults(func=cmd_sweep)
 
     sp = sub.add_parser("config", help="show/validate/save configuration")
     sp.add_argument("action", choices=["show", "validate", "save"])

@@ -31,6 +31,7 @@ from .adaptive import (
 from .energy_landscape import EnergyLandscape
 from .materials import MaterialDatabase, MaterialProperties
 from .solver import (
+    AdaptiveLLGSSolver,
     LLGSSolver,
     RobustLLGSSolver,
     ScalableLLGSSolver,
@@ -64,6 +65,7 @@ __all__ = [
     "MaterialDatabase",
     "MaterialProperties",
     "LLGSSolver",
+    "AdaptiveLLGSSolver",
     "SimpleLLGSSolver",
     "RobustLLGSSolver",
     "ScalableLLGSSolver",

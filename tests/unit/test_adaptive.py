@@ -189,3 +189,46 @@ def test_trajectory_diagnostics():
     assert float(e[0]) < float(e[1])  # easy axis lower energy than hard axis
     tq = trajectory_torques(m_traj, 0.0, PARAMS)
     assert float(tq[0]) < 1e-3  # no torque at the pole
+
+
+def test_adaptive_solver_facade():
+    """AdaptiveLLGSSolver: the reference's adaptive-solver class surface
+    (llgs_solver.py:21-60) - scipy method names, dict result, single and
+    batched inputs, zero-span trivial solve, unknown-method rejection."""
+    import pytest
+
+    from spintorque_tpu.physics import AdaptiveLLGSSolver
+
+    dp = dict(volume=1e-23, saturation_magnetization=800e3, damping=0.05,
+              uniaxial_anisotropy=1.2e6, polarization=0.7,
+              easy_axis=np.array([0.0, 0.0, 1.0]))
+    results = {}
+    for meth in ("RK45", "Radau"):
+        s = AdaptiveLLGSSolver(method=meth, rtol=1e-7, atol=1e-10,
+                               dtype=jnp.float64)
+        out = s.solve(np.array([0.4, 0.1, 0.911]), (0.0, 3e-10), dp,
+                      current=SMALL_CURRENT)
+        assert out["success"], out["message"]
+        assert np.asarray(out["m"]).shape == (3,)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out["m"])), 1.0,
+                                   atol=1e-6)
+        assert int(out["n_steps"]) > 0
+        results[meth] = np.asarray(out["m"])
+        assert s.get_solver_info()["method"] == meth
+    # The explicit and implicit paths solve the SAME ODE: answers agree.
+    np.testing.assert_allclose(results["RK45"], results["Radau"],
+                               rtol=1e-4, atol=1e-5)
+
+    # Batched input keeps the batch shape.
+    s = AdaptiveLLGSSolver(method="BDF", dtype=jnp.float64)
+    batch = np.tile(np.array([[0.3, 0.0, 0.954]]), (4, 1))
+    out = s.solve(batch, (0.0, 1e-10), dp)
+    assert np.asarray(out["m"]).shape == (4, 3)
+    assert out["success"]
+
+    # Zero span -> normalized trivial solution.
+    out = s.solve(np.array([0.0, 0.0, 2.0]), (0.0, 0.0), dp)
+    np.testing.assert_allclose(np.asarray(out["m"]), [0.0, 0.0, 1.0])
+
+    with pytest.raises(ValueError, match="unknown method"):
+        AdaptiveLLGSSolver(method="rk23")

@@ -68,3 +68,23 @@ def test_cli_sb3_ppo_keeps_continuous_action_space(monkeypatch):
 def test_cli_sb3_unknown_algorithm(monkeypatch):
     rc, _ = _run_sb3_train(monkeypatch, "a2c")
     assert rc == 1
+
+
+def test_cli_sweep_writes_diagram(tmp_path):
+    """The sweep subcommand runs a tiny grid end-to-end and writes JSON."""
+    from spintorque_tpu.cli import build_parser
+
+    out = tmp_path / "sweep.json"
+    args = build_parser().parse_args(
+        ["sweep", "--n-currents", "3", "--n-durations", "2",
+         "--ensemble", "4", "--duration-max", "3e-10",
+         "--output", str(out)]
+    )
+    assert args.func(args) == 0
+    import json
+
+    d = json.loads(out.read_text())
+    assert len(d["p_switch"]) == 3 and len(d["p_switch"][0]) == 2
+    assert all(0.0 <= v <= 1.0 for row in d["p_switch"] for v in row)
+    # Physics: strong negative J switches, zero J does not.
+    assert d["p_switch"][0][0] > 0.9 and d["p_switch"][-1][-1] < 0.1
