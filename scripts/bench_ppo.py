@@ -147,6 +147,17 @@ def main():
     results["accounted_ms"] = round((t_roll + t_upd) * 1e3, 3)
     results["unaccounted_ms"] = round((t_full - t_roll - t_upd) * 1e3, 3)
     print(json.dumps(results))
+    # Persist the artifact: round 3's file was written by hand and round 4
+    # initially re-measured WITHOUT updating it - print-only scripts make
+    # stale artifacts (advisor-class bug).
+    results["recorded"] = time.strftime("%Y-%m-%d")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "BENCH_PPO_TPU_v5e.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print("wrote", out)
 
 
 if __name__ == "__main__":
