@@ -73,6 +73,26 @@ def plot_energy_surface(surface: Dict[str, np.ndarray], title: str = ""):
     return fig
 
 
+def plot_switching_diagram(diagram: Dict[str, np.ndarray], title: str = ""):
+    """Heatmap of a research.sweeps.switching_probability_diagram result:
+    P(switch) over the (current, duration) grid."""
+    plt = _plt()
+    currents = np.asarray(diagram["currents"])
+    durations = np.asarray(diagram["durations"])
+    p = np.asarray(diagram["p_switch"])
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    im = ax.pcolormesh(
+        durations * 1e9, currents / 1e6, p,
+        shading="auto", cmap="magma", vmin=0.0, vmax=1.0,
+    )
+    fig.colorbar(im, ax=ax, label="P(switch)")
+    ax.set_xlabel("pulse duration (ns)")
+    ax.set_ylabel("current density (MA/m$^2$)")
+    ax.set_title(title or "Switching probability")
+    fig.tight_layout()
+    return fig
+
+
 class SpintronicVisualizer:
     """Named-figure convenience wrapper (research_plots.py:40-80 surface)."""
 

@@ -45,3 +45,16 @@ def test_energy_surface_and_visualizer(tmp_path):
     diagram = el.switching_phase_diagram((0.0, 5e6), n_fields=8, n_angles=8)
     p3 = viz.switching_phase_diagram(diagram)
     assert p3.exists()
+
+
+def test_plot_switching_diagram():
+    from spintorque_tpu.visualization import plot_switching_diagram
+
+    fig = plot_switching_diagram(
+        {
+            "currents": np.linspace(-4e6, 0, 8),
+            "durations": np.linspace(1e-10, 2e-9, 8),
+            "p_switch": np.clip(np.random.rand(8, 8), 0, 1),
+        }
+    )
+    assert fig.get_axes()[0].get_title() == "Switching probability"
