@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--rollout", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--minibatches", type=int, default=4)
+    ap.add_argument("--out", default=None,
+                    help="artifact path; default writes the canonical "
+                         "docs/BENCH_PPO_TPU_v5e.json ONLY for the "
+                         "canonical config on a TPU backend")
     args = ap.parse_args()
 
     from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
@@ -146,18 +150,35 @@ def main():
 
     results["accounted_ms"] = round((t_roll + t_upd) * 1e3, 3)
     results["unaccounted_ms"] = round((t_full - t_roll - t_upd) * 1e3, 3)
+    # 'recorded' set BEFORE printing so stdout JSON and the persisted
+    # artifact are byte-identical objects (review finding).
+    results["recorded"] = time.strftime("%Y-%m-%d")
     print(json.dumps(results))
     # Persist the artifact: round 3's file was written by hand and round 4
     # initially re-measured WITHOUT updating it - print-only scripts make
-    # stale artifacts (advisor-class bug).
-    results["recorded"] = time.strftime("%Y-%m-%d")
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "BENCH_PPO_TPU_v5e.json",
+    # stale artifacts (advisor-class bug). The CANONICAL file is only
+    # overwritten by the canonical configuration on a real TPU backend;
+    # exploratory runs (other batch sizes, CPU machines) must pass --out
+    # or get no artifact (review finding: a --batch 256 dev run silently
+    # replaced the published v5e numbers).
+    canonical = (
+        (args.batch, args.rollout, args.epochs, args.minibatches)
+        == (4096, 16, 4, 4)
+        and jax.default_backend() == "tpu"
     )
-    with open(out, "w") as fh:
-        json.dump(results, fh, indent=2)
-    print("wrote", out)
+    out = args.out
+    if out is None and canonical:
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "BENCH_PPO_TPU_v5e.json",
+        )
+    if out:
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print("wrote", out)
+    else:
+        print("# non-canonical config/backend: artifact NOT written "
+              "(pass --out to save)")
 
 
 if __name__ == "__main__":

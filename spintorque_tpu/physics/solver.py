@@ -87,6 +87,18 @@ def params_from_dict(device_params: Dict[str, Any], dtype=jnp.float32) -> LLGSPa
     )
 
 
+def _normalized_trivial(m: np.ndarray) -> np.ndarray:
+    """Zero-span result: NORMALIZED initial state with the reference's
+    validate-before-span-check semantics (simple_solver.py:119-123),
+    including the isfinite guard - non-finite or zero-norm inputs fall
+    back to [0, 0, 1] (shared by both solver facades so the guards cannot
+    drift apart; review finding: the adaptive copy had lost the isfinite
+    check and returned NaN with success=True)."""
+    norm = np.linalg.norm(m, axis=-1, keepdims=True)
+    ok = (norm >= 1e-12) & np.isfinite(norm) & np.isfinite(m).all(-1, keepdims=True)
+    return np.where(ok, m / np.where(ok, norm, 1.0), np.array([0.0, 0.0, 1.0]))
+
+
 class LLGSSolver:
     """Batched fixed-step LLGS solver (jit-compiled, TPU-resident).
 
@@ -150,12 +162,7 @@ class LLGSSolver:
         t_start, t_end = t_span
         span = float(t_end) - float(t_start)
         if span <= 0.0:
-            # Trivial solution returns the NORMALIZED initial state, as the
-            # reference validates before the span check (simple_solver.py:119-123).
-            norm = np.linalg.norm(m, axis=-1, keepdims=True)
-            ok = (norm >= 1e-12) & np.isfinite(norm) & np.isfinite(m).all(-1, keepdims=True)
-            m_norm = np.where(ok, m / np.where(ok, norm, 1.0),
-                              np.array([0.0, 0.0, 1.0]))
+            m_norm = _normalized_trivial(m)
             return {
                 "t": jnp.asarray([t_start, t_end], self.dtype),
                 "m": jnp.asarray(m_norm[0] if single else m_norm, self.dtype),
@@ -286,9 +293,7 @@ class AdaptiveLLGSSolver:
         t_start, t_end = t_span
         span = float(t_end) - float(t_start)
         if span <= 0.0:
-            norm = np.linalg.norm(m, axis=-1, keepdims=True)
-            m_norm = np.where(norm >= 1e-12, m / np.where(norm >= 1e-12, norm, 1.0),
-                              np.array([0.0, 0.0, 1.0]))
+            m_norm = _normalized_trivial(m)
             return {
                 "m": jnp.asarray(m_norm[0] if single else m_norm, self.dtype),
                 "success": True,

@@ -35,6 +35,50 @@ def _flat_grid(currents, durations, n_ensemble, dtype):
     return currents, durations, j_flat, t_flat
 
 
+def _tilted_m0(B, dtype, sign=-1.0):
+    """Initial state in the ``sign`` well with a 0.5 degree polar tilt:
+    exactly +-z is a torque fixed point, so a cold pole start would make
+    the deterministic part of switching invisible."""
+    tilt = jnp.asarray(jnp.sin(jnp.deg2rad(0.5)), dtype)
+    mz0 = jnp.asarray(jnp.sign(sign), dtype) * jnp.sqrt(1.0 - tilt**2)
+    return (
+        jnp.full((B,), tilt, dtype),
+        jnp.zeros((B,), dtype),
+        jnp.full((B,), mz0, dtype),
+    ), mz0
+
+
+def _maybe_shard(mesh, data_axis, *arrays):
+    """device_put the (B,) arrays with the batch split over ``data_axis``
+    when a mesh is given and B divides it; otherwise return them unchanged
+    (integrate_pulse_pallas falls back safely for indivisible batches)."""
+    if mesh is None:
+        return arrays
+    B = arrays[0].shape[0]
+    if B % mesh.shape[data_axis]:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(data_axis))
+    return tuple(jax.device_put(a, shard) for a in arrays)
+
+
+def _ensemble_stats(switched, failed, *lead_shape):
+    """(p_switch, failed_fraction) per grid point; failed trajectories are
+    EXCLUDED from the switching denominator (counting them as non-switching
+    would report a confident p=0 for a fully-failed point - review
+    finding). A point whose whole ensemble failed reports p_switch=nan."""
+    switched = switched.reshape(*lead_shape, -1)
+    failed = failed.reshape(*lead_shape, -1)
+    valid = (~failed).sum(axis=-1)
+    p = jnp.where(
+        valid > 0,
+        switched.sum(axis=-1) / jnp.maximum(valid, 1),
+        jnp.nan,
+    )
+    return p, failed.mean(axis=-1)
+
+
 def switching_probability_diagram(
     params: LLGSParams,
     currents,
@@ -93,15 +137,7 @@ def switching_probability_diagram(
         rk4_noise="per_substep",
     )
 
-    # Slight polar tilt: exactly +-z is a torque fixed point, so a cold
-    # start there would make the deterministic part of switching invisible.
-    tilt = jnp.asarray(jnp.sin(jnp.deg2rad(0.5)), dtype)
-    mz0 = jnp.asarray(jnp.sign(initial_mz), dtype) * jnp.sqrt(1.0 - tilt**2)
-    m0 = (
-        jnp.full((B,), tilt, dtype),
-        jnp.zeros((B,), dtype),
-        jnp.full((B,), mz0, dtype),
-    )
+    m0, mz0 = _tilted_m0(B, dtype, sign=initial_mz)
 
     @jax.jit
     def run(m0, t_flat, j_flat, key):
@@ -112,23 +148,16 @@ def switching_probability_diagram(
         )
         mx, my, mz = res.m
         switched = (jnp.sign(mz) != jnp.sign(mz0)) & ~res.failed
-        p = switched.reshape(n_j, n_t, n_ensemble).mean(axis=-1)
-        return p, mz
+        p, failed_frac = _ensemble_stats(switched, res.failed, n_j, n_t)
+        return p, failed_frac, mz
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        shard = NamedSharding(mesh, P(data_axis))
-        if B % mesh.shape[data_axis] == 0:
-            m0 = tuple(jax.device_put(c, shard) for c in m0)
-            t_flat = jax.device_put(t_flat, shard)
-            j_flat = jax.device_put(j_flat, shard)
-
-    p_switch, final_mz = run(m0, t_flat, j_flat, key)
+    *m0, t_flat, j_flat = _maybe_shard(mesh, data_axis, *m0, t_flat, j_flat)
+    p_switch, failed_fraction, final_mz = run(tuple(m0), t_flat, j_flat, key)
     return {
         "currents": currents,
         "durations": durations,
         "p_switch": p_switch,
+        "failed_fraction": failed_fraction,
         "final_mz": final_mz,
     }
 
@@ -159,6 +188,9 @@ def parameter_ladder_sweep(
     if key is None:
         key = jax.random.PRNGKey(0)
     names = list(vary)
+    if not names:
+        raise ValueError("parameter_ladder_sweep: vary must name at least "
+                         "one LLGSParams field")
     ladders = [jnp.asarray(vary[n], dtype) for n in names]
     n_points = ladders[0].shape[0]
     for n, lad in zip(names, ladders):
@@ -178,12 +210,7 @@ def parameter_ladder_sweep(
         noise_mode=noise_mode,
         rk4_noise="per_substep",
     )
-    tilt = jnp.asarray(jnp.sin(jnp.deg2rad(0.5)), dtype)
-    m0 = (
-        jnp.full((B,), tilt, dtype),
-        jnp.zeros((B,), dtype),
-        jnp.full((B,), -jnp.sqrt(1.0 - tilt**2), dtype),
-    )
+    m0, _ = _tilted_m0(B, dtype, sign=-1.0)
     spans = jnp.full((B,), duration, dtype)
     cur = jnp.full((B,), current, dtype)
 
@@ -196,17 +223,10 @@ def parameter_ladder_sweep(
         )
         mz = res.m[2]
         switched = (mz > 0) & ~res.failed
-        return switched.reshape(n_points, n_ensemble).mean(axis=-1)
+        return _ensemble_stats(switched, res.failed, n_points)
 
-    if mesh is not None and B % mesh.shape[data_axis] == 0:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        shard = NamedSharding(mesh, P(data_axis))
-        m0 = tuple(jax.device_put(c, shard) for c in m0)
-        spans = jax.device_put(spans, shard)
-        cur = jax.device_put(cur, shard)
-
-    p = run(m0, spans, cur, key)
-    out = {"p_switch": p}
+    *m0, spans, cur = _maybe_shard(mesh, data_axis, *m0, spans, cur)
+    p, failed_frac = run(tuple(m0), spans, cur, key)
+    out = {"p_switch": p, "failed_fraction": failed_frac}
     out.update({n: lad for n, lad in zip(names, ladders)})
     return out

@@ -232,3 +232,19 @@ def test_adaptive_solver_facade():
 
     with pytest.raises(ValueError, match="unknown method"):
         AdaptiveLLGSSolver(method="rk23")
+
+
+def test_adaptive_facade_zero_span_nonfinite_fallback():
+    """Non-finite initial state at zero span must hit the [0,0,1] fallback
+    (review finding: the adaptive copy of the trivial-solve block had
+    dropped the isfinite guard and returned NaN with success=True)."""
+    from spintorque_tpu.physics import AdaptiveLLGSSolver
+
+    dp = dict(volume=1e-23, saturation_magnetization=800e3, damping=0.05,
+              uniaxial_anisotropy=1.2e6, polarization=0.7,
+              easy_axis=np.array([0.0, 0.0, 1.0]))
+    s = AdaptiveLLGSSolver(method="RK45", dtype=jnp.float64)
+    out = s.solve(np.array([np.inf, 0.0, 0.0]), (0.0, 0.0), dp)
+    np.testing.assert_allclose(np.asarray(out["m"]), [0.0, 0.0, 1.0])
+    out = s.solve(np.array([np.nan, 0.0, 0.5]), (0.0, 0.0), dp)
+    np.testing.assert_allclose(np.asarray(out["m"]), [0.0, 0.0, 1.0])

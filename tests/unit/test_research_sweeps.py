@@ -97,3 +97,25 @@ def test_parameter_ladder_validates_lengths():
              "volume": jnp.asarray([1e-22])},
             current=-1e7, duration=2e-10, n_ensemble=4,
         )
+
+
+def test_sweeps_report_failed_fraction():
+    """Failed trajectories are excluded from the switching denominator and
+    surfaced via failed_fraction (review finding: counting them as
+    'not switched' reports a confident p=0 for a fully-failed point)."""
+    out = switching_probability_diagram(
+        PARAMS, currents=[-2e7], durations=[2e-10], n_ensemble=8,
+        temperature=300.0, max_substeps=512, key=jax.random.PRNGKey(1),
+        use_pallas=False,
+    )
+    assert out["failed_fraction"].shape == (1, 1)
+    assert float(out["failed_fraction"][0, 0]) == 0.0
+    lad = parameter_ladder_sweep(
+        PARAMS, {"damping": jnp.asarray([0.05, 0.1])},
+        current=-2e7, duration=2e-10, n_ensemble=8, temperature=300.0,
+        key=jax.random.PRNGKey(2),
+    )
+    assert lad["failed_fraction"].shape == (2,)
+
+    with pytest.raises(ValueError, match="at least"):
+        parameter_ladder_sweep(PARAMS, {}, current=-1e7, duration=2e-10)
