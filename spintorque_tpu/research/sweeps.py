@@ -17,7 +17,7 @@ ROADMAP item "Mesh-sharded parameter sweeps" (round 4).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
