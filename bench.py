@@ -8,7 +8,10 @@ SpinTorque-v0 envs (default physics: STT-MRAM, thermal fluctuations on,
 RK4, max_duration 5 ns), random continuous actions spanning the full action
 space, measured in steady state on the local accelerator. The env batch is
 sharded over all local chips (no-op on one chip) so the per-chip number
-stays honest on multi-chip hosts.
+stays honest on multi-chip hosts. The measured program is a scan of 16 env
+steps per dispatch - the production PPO rollout length (rounds 2-3 scanned
+8; the delta is host-dispatch amortization only, quantified with a device
+trace in docs/DISPATCH_OVERHEAD_TPU_v5e.json).
 
 measure_env_throughput() is the ONE measurement program: the artifact
 recorder (scripts/record_tpu_bench.py) imports it so docs/BENCH_TPU_v5e.json

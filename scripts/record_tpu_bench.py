@@ -102,9 +102,11 @@ def main(only=None):
             "suite": "spintorque_tpu",
             "notes": (
                 "env_* entries: bench.measure_env_throughput, the exact "
-                "headline program (scan of 8 public env steps, one device "
-                "sync per 8 dispatches). solver_* entries: one host "
-                "dispatch per pulse call - per-call dispatch overhead "
+                "headline program (scan of 16 public env steps per dispatch "
+                "- the production PPO rollout length - one device sync per "
+                "8 dispatches; dispatch-overhead attribution in "
+                "DISPATCH_OVERHEAD_TPU_v5e.json). solver_* entries: one "
+                "host dispatch per pulse call - per-call dispatch overhead "
                 "dominates (kernel-only cost is in ROOFLINE_TPU_v5e.json); "
                 "honest user-API latencies, not kernel throughput."
             ),

@@ -14,7 +14,14 @@ import jax
 def measure_env_throughput(
     env,
     *,
-    n_inner: int = 8,
+    # n_inner: env steps per dispatched scan program. 16 matches the
+    # production PPO trainer's rollout length (PPOConfig.rollout_steps) -
+    # the headline measures the program shape production actually runs.
+    # Rounds 2-3 used 8; the difference is pure host-dispatch amortization
+    # (the tunneled runtime costs ~0.4 ms per dispatch, quantified with a
+    # device trace in docs/DISPATCH_OVERHEAD_TPU_v5e.json - device-only
+    # step time is scan-length independent).
+    n_inner: int = 16,
     warmup: int = 12,
     blocks: int = 1,
     iters_per_block: int = 8,
