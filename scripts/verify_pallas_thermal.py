@@ -4,7 +4,10 @@ Interpret mode stubs the on-core PRNG, so this check needs hardware:
 run `python scripts/verify_pallas_thermal.py` on a TPU backend.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
