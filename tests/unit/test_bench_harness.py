@@ -61,3 +61,19 @@ def test_measured_batch_stays_sharded():
     assert len(shards) == n_dev
     for s in shards:
         assert s.data.shape == (B // n_dev,) + final_obs.shape[1:]
+
+
+def test_headline_scan_length_matches_production_rollout():
+    """The headline program's documented rationale is that its scan length
+    equals the production PPO rollout length; enforce the contract so the
+    two cannot drift silently (dispatch amortization is part of what the
+    headline measures - docs/DISPATCH_OVERHEAD_TPU_v5e.json)."""
+    import inspect
+
+    from spintorque_tpu.rl import PPOConfig
+    from spintorque_tpu.utils.benchmark import measure_env_throughput
+
+    default_n_inner = inspect.signature(
+        measure_env_throughput
+    ).parameters["n_inner"].default
+    assert default_n_inner == PPOConfig().rollout_steps == 16
