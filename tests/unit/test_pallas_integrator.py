@@ -268,3 +268,51 @@ def test_bf16_rhs_variant_accuracy_and_gating():
     # field error accumulating over <=300 substeps of ~0.1 rad precession).
     assert ang.mean() < 6.0, ang.mean()
     assert ang.max() < 25.0, ang.max()
+
+
+def test_pallas_matches_xla_randomized_configs():
+    """Seeded randomized config sweep: for random (method, batch, axis,
+    span-range, current-range, per-env-param) combinations, the Pallas
+    kernel (interpret) must match the XLA path at the deterministic
+    tolerance. Broadens the fixed-config parity tests above after the
+    round-4 kernel restructures (chains/segments/delta-form)."""
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        B = int(rng.choice([32, 96, 256, 520]))
+        method = str(rng.choice(["euler", "heun", "rk4"]))
+        key = jax.random.PRNGKey(100 + trial)
+        m = jax.random.normal(key, (B, 3), jnp.float32)
+        m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+        m0 = (m[:, 0], m[:, 1], m[:, 2])
+        lo = float(rng.uniform(1e-12, 1e-10))
+        hi = float(rng.uniform(2e-10, 4e-10))
+        spans = jax.random.uniform(jax.random.fold_in(key, 1), (B,),
+                                   jnp.float32, lo, hi)
+        cur = jax.random.uniform(jax.random.fold_in(key, 2), (B,),
+                                 jnp.float32, -300.0, 300.0)
+        params = PARAMS.astype(jnp.float32)
+        if rng.random() < 0.5:
+            axis = rng.normal(size=3)
+            axis = axis / np.linalg.norm(axis)
+            params = params.replace(
+                easy_axis=jnp.asarray(axis, jnp.float32))
+        if rng.random() < 0.5:
+            params = params.replace(
+                damping=jnp.asarray(
+                    rng.uniform(0.005, 0.05, B), jnp.float32),
+                uniaxial_anisotropy=jnp.asarray(
+                    rng.uniform(8e5, 1.6e6, B), jnp.float32),
+            )
+        cfg = IntegratorConfig(method=method, max_substeps=512)
+        ref = integrate_pulse(m0, spans, cur, params, cfg)
+        with pltpu.force_tpu_interpret_mode():
+            out = integrate_pulse_pallas(m0, spans, cur, params, cfg)
+        label = f"trial={trial} method={method} B={B}"
+        for c in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out[0][c]), np.asarray(ref.m[c]),
+                rtol=2e-6, atol=2e-6, err_msg=label)
+        np.testing.assert_array_equal(
+            np.asarray(out[1]), np.asarray(ref.n_substeps), err_msg=label)
+        np.testing.assert_array_equal(
+            np.asarray(out[3]), np.asarray(ref.failed), err_msg=label)
