@@ -47,8 +47,12 @@ shades = " .:-=+*#%@"
 print("P(switch)  duration ->  {:.1e} .. {:.1e} s".format(
     float(durations[0]), float(durations[-1])))
 for i, row in enumerate(p):
-    line = "".join(shades[min(int(v * (len(shades) - 1)), len(shades) - 1)]
-                   for v in row)
+    # '?' marks a grid point whose whole ensemble failed (p is NaN there).
+    line = "".join(
+        "?" if not np.isfinite(v)
+        else shades[min(int(v * (len(shades) - 1)), len(shades) - 1)]
+        for v in row
+    )
     print(f"J={float(currents[i]):+.2e}  |{line}|")
 
 _os.makedirs("results", exist_ok=True)
@@ -57,7 +61,7 @@ with open("results/switching_diagram.json", "w") as fh:
         {
             "currents": np.asarray(currents).tolist(),
             "durations": np.asarray(durations).tolist(),
-            "p_switch": p.tolist(),
+            "p_switch": [[v if np.isfinite(v) else None for v in row] for row in p],
         },
         fh, indent=2,
     )

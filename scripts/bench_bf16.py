@@ -19,25 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from spintorque_tpu.ops import pallas_integrator as pi
-from spintorque_tpu.physics import IntegratorConfig, LLGSParams
+from spintorque_tpu.physics import IntegratorConfig  # noqa: F401
+from _bench_util import BENCH_PARAMS as PARAMS, setup_pulse_inputs, timed
 
 B = 4096
-PARAMS = LLGSParams(
-    saturation_magnetization=800e3, damping=0.01, uniaxial_anisotropy=1.2e6,
-    volume=1e-23, polarization=0.7,
-    easy_axis=jnp.array([0.0, 0.0, 1.0], jnp.float32),
-).astype(jnp.float32)
 
 
-def timed(fn, iters=20):
-    for _ in range(12):
-        out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
 
 
 def main():

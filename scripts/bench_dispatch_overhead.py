@@ -57,7 +57,10 @@ def main():
     jax.profiler.start_trace(TRACE_DIR)
     measure_env_throughput(env, blocks=1, iters_per_block=4, warmup=2, n_inner=8)
     jax.profiler.stop_trace()
-    f = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)[0]
+    traces = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
+    if not traces:
+        raise SystemExit("no xplane trace produced - is this a TPU backend?")
+    f = traces[0]
     pd = jax.profiler.ProfileData.from_serialized_xspace(open(f, "rb").read())
     per_exec = None
     for plane in pd.planes:
@@ -74,6 +77,10 @@ def main():
             name, ns = max(total.items(), key=lambda kv: kv[1])
             per_exec = ns / 1e6 / count[name]
             print(f"device: {name[:40]} -> {per_exec:.3f} ms per scan-8 exec")
+    if per_exec is None:
+        raise SystemExit(
+            "trace has no '/device:TPU:0' plane with an 'XLA Modules' line - "
+            "device naming differs on this runtime; inspect the trace planes")
     art["device_ms_per_step_scan8"] = round(per_exec / 8, 4)
     art["device_env_steps_per_s_per_chip"] = round(B / (per_exec / 8) * 1e3, 1)
     art["dispatch_gap_ms_per_step_scan8"] = round(

@@ -21,47 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from spintorque_tpu.physics import IntegratorConfig, LLGSParams
+from spintorque_tpu.physics import IntegratorConfig  # noqa: F401
+from _bench_util import BENCH_PARAMS as PARAMS, setup_pulse_inputs, timed
 from spintorque_tpu.ops import pallas_integrator as pi
 
-PARAMS = LLGSParams(
-    saturation_magnetization=800e3,
-    damping=0.01,
-    uniaxial_anisotropy=1.2e6,
-    volume=1e-23,
-    polarization=0.7,
-    easy_axis=jnp.array([0.0, 0.0, 1.0], jnp.float32),
-).astype(jnp.float32)
 
 B = 4096
 
 
-def setup(seed=0):
-    key = jax.random.PRNGKey(seed)
-    m = jax.random.normal(key, (B, 3), jnp.float32)
-    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
-    spans = jax.random.uniform(
-        jax.random.fold_in(key, 1), (B,), jnp.float32, 1e-12, 5e-9
-    )
-    cur = jax.random.uniform(
-        jax.random.fold_in(key, 2), (B,), jnp.float32, -2e6, 0.0
-    )
-    return (m[:, 0], m[:, 1], m[:, 2]), spans, cur
 
 
-def timed(fn, iters=20):
-    for _ in range(12):
-        out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
 
 
 def main():
-    m0, spans, cur = setup()
+    m0, spans, cur = setup_pulse_inputs(B)
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     artifact = {
         "backend": jax.default_backend(),

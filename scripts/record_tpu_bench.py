@@ -43,6 +43,15 @@ def _tcrit(df):
     return _T95[max(below)] if below else _T95[min(_T95)]
 
 
+def _jaxlib_version():
+    try:
+        import jaxlib
+
+        return getattr(jaxlib, "__version__", None) or jaxlib.version.__version__
+    except Exception:
+        return "unknown"
+
+
 def _stats(rates, name, unit, wall_s):
     """Mean with a t-based 95% CI on the MEAN (not sample percentiles)."""
     n = len(rates)
@@ -66,7 +75,10 @@ def _stats(rates, name, unit, wall_s):
             "recorded": {
                 "date": time.strftime("%Y-%m-%d"),
                 "backend": jax.default_backend(),
-                "jaxlib": jax.__version__,
+                "jax": jax.__version__,
+                # jaxlib (compiled kernels / Mosaic) is the version that
+                # actually determines recorded Pallas schedules.
+                "jaxlib": _jaxlib_version(),
             },
         },
     }

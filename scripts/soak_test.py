@@ -98,6 +98,9 @@ def main():
         blocks += 1
         steps += N_INNER * B
     wall = time.time() - t0
+    if blocks == 0:
+        print("no blocks executed (non-positive --seconds?); nothing recorded")
+        return 1
     art = {
         "backend": jax.default_backend(),
         "batch": B,

@@ -272,13 +272,19 @@ def cmd_sweep(args) -> int:
         temperature=args.temperature, key=jax.random.PRNGKey(args.seed),
         mesh=make_mesh(),
     )
+    def _jsonable(a):
+        # NaN marks a grid point whose whole ensemble failed; bare NaN
+        # tokens are invalid strict JSON, so emit null there.
+        return np.where(np.isfinite(a), a.astype(object), None).tolist()
+
     result = {
         "device_type": args.device_type,
         "temperature": args.temperature,
         "ensemble": args.ensemble,
         "currents": np.asarray(out["currents"]).tolist(),
         "durations": np.asarray(out["durations"]).tolist(),
-        "p_switch": np.asarray(out["p_switch"]).tolist(),
+        "p_switch": _jsonable(np.asarray(out["p_switch"])),
+        "failed_fraction": np.asarray(out["failed_fraction"]).tolist(),
     }
     text = _json.dumps(result, indent=2)
     if args.output:

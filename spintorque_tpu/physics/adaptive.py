@@ -291,15 +291,18 @@ def _integrate_implicit_midpoint(
         def newton(_, y):
             yx, yy, yz = y
             hx, hy, hz = 0.5 * (mx + yx), 0.5 * (my + yy), 0.5 * (mz + yz)
-            gx, gy, gz = f(hx, hy, hz)
+            # linearize evaluates the primal RHS ONCE and returns a linear
+            # map; the residual reuses the primal and the three Jacobian
+            # columns are cheap tangent applications (three separate jvp
+            # calls would each re-evaluate the primal - ~2x the per-step
+            # RHS work; review finding).
+            (gx, gy, gz), f_lin = jax.linearize(f, hx, hy, hz)
             res_x = yx - mx - dt * gx
             res_y = yy - my - dt * gy
             res_z = yz - mz - dt * gz
             # Jacobian columns d f / d m_k at the midpoint; d(mid)/dy = 1/2
             # folds into the dt/2 factor below.
-            cols = [
-                jax.jvp(f, (hx, hy, hz), tang)[1] for tang in _TANGENTS
-            ]
+            cols = [f_lin(*tang) for tang in _TANGENTS]
             # A[i][k] = delta_ik - (dt/2) * d f_i / d m_k
             A = tuple(
                 tuple(
