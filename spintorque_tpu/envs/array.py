@@ -20,6 +20,17 @@ Reference semantics preserved deliberately (for parity):
   * energy at pre-update resistance, E = J^2 A^2 R dt per affected device
   * thermal fluctuations are accepted in the config but never applied
     (the reference's inline dynamics have no thermal term)
+
+``coupling_update='simultaneous'`` (opt-in, TPU-first) replaces the
+reference's sequential-in-place semantics with the physically sensible
+simultaneous update: every substep assembles ALL devices' coupling fields
+from the same pre-substep pattern in one (N,N)x(B,N,3) einsum and advances
+every affected device together (and refreshes the field each of the 10
+Euler substeps instead of freezing the slope). Unlike the sequential quirk
+it is invariant to device labeling (permutation-equivariant - tested) and
+runs with no lax.scan over N, so it scales to array sizes the reference's
+O(N^2)-per-device Python loop cannot touch. Default stays 'sequential' for
+reference parity.
 """
 
 from __future__ import annotations
@@ -56,6 +67,7 @@ class ArrayEnvConfig(NamedTuple):
     coupling_type: str = "dipolar"  # 'dipolar' | 'exchange' | 'stray_field'
     action_mode: str = "individual"  # 'individual' | 'row' | 'column' | 'global'
     observation_mode: str = "array"  # 'array' | 'vector' | 'dict'
+    coupling_update: str = "sequential"  # 'sequential' (parity) | 'simultaneous'
     success_threshold: float = 0.9
     energy_penalty_weight: float = 0.1
     autoreset: bool = True

@@ -229,8 +229,13 @@ _SPARE = _Spare()
 
 def _normal_from_bits(shape):
     """One standard normal; every Box-Muller half is eventually used."""
-    if _SPARE and _SPARE[-1].shape == shape:
-        return _SPARE.pop()
+    if _SPARE:
+        if _SPARE[-1].shape == shape:
+            return _SPARE.pop()
+        # A shape change mid-trace (e.g. future heterogeneous chain heights)
+        # must not strand stale spares behind the new one: drop them so the
+        # buffer holds at most one live spare (review finding).
+        _SPARE.clear()
     a, b = _normal_pair_from_bits(shape)
     _SPARE.append(b)
     return a

@@ -1,9 +1,10 @@
-"""Adaptive-step LLGS integration (embedded Dormand-Prince RK45).
+"""Adaptive-step LLGS integration: embedded Dormand-Prince RK5(4) for the
+nonstiff names and 3-stage Radau IIA (order 5) for the stiff names.
 
 TPU counterpart of the reference's SciPy-backed adaptive solver
 (spin_torque_gym/physics/llgs_solver.py:21-305, scipy.integrate.solve_ivp
-RK45). SciPy's stepper is host-side and per-device; here the embedded
-RK5(4) pair with a PI step-size controller runs inside a single jitted
+with methods RK45/DOP853/Radau/BDF/LSODA). SciPy's steppers are host-side
+and per-device; here each method runs inside a single jitted
 ``lax.while_loop`` for a whole batch in lockstep: every env carries its own
 (t, dt) and integrates until its own t_end, masked once finished. This is
 the "tolerance-controlled" path for analysis work; the RL hot loop uses the
@@ -94,11 +95,15 @@ class AdaptiveResult(NamedTuple):
 # Method-name mapping (capability parity with the reference's scipy
 # passthrough, llgs_solver.py:26,35: 'RK45','DOP853','Radau','BDF','LSODA').
 # The explicit family maps to the embedded Dormand-Prince RK5(4) pair; the
-# stiff/implicit family maps to the batched A-stable implicit-midpoint
-# solver below (one TPU-native implicit method serves all three scipy stiff
-# names, golden-tested against scipy Radau in tests/unit/test_adaptive.py).
+# scipy stiff names map to the batched 3-stage Radau IIA (order 5, L-stable,
+# simplified Newton + embedded order-3 error estimate — the same method
+# family scipy's 'Radau' uses, golden-tested against it in
+# tests/unit/test_adaptive.py); 'midpoint' keeps the order-2 A-stable
+# implicit midpoint with step-doubling control.
 _EXPLICIT_METHODS = ("rk45", "dop853", "dopri5")
-_IMPLICIT_METHODS = ("radau", "bdf", "lsoda", "midpoint")
+_RADAU_METHODS = ("radau", "bdf", "lsoda")
+_MIDPOINT_METHODS = ("midpoint",)
+_IMPLICIT_METHODS = _RADAU_METHODS + _MIDPOINT_METHODS
 
 
 def integrate_adaptive(
@@ -117,12 +122,18 @@ def integrate_adaptive(
     """Batched adaptive integration over one square pulse (deterministic).
 
     ``method``: 'rk45'/'dop853' - embedded explicit RK5(4) pair;
-    'radau'/'bdf'/'lsoda'/'midpoint' - A-stable implicit midpoint with
-    Newton iteration and step-doubling error control (the stiff-capable
-    path; the reference delegates these names to scipy.integrate.solve_ivp,
-    llgs_solver.py:26,35)."""
+    'radau'/'bdf'/'lsoda' - 3-stage Radau IIA, order 5, L-stable
+    (simplified Newton, the stiff-capable path matching the *order* of the
+    scipy methods the reference delegates these names to,
+    llgs_solver.py:26,35); 'midpoint' - order-2 A-stable implicit midpoint
+    with step-doubling error control."""
     meth = method.lower()
-    if meth in _IMPLICIT_METHODS:
+    if meth in _RADAU_METHODS:
+        return _integrate_radau5(
+            m0, span, current, params, rtol, atol, max_steps,
+            dt_init, dt_min, dt_max,
+        )
+    if meth in _MIDPOINT_METHODS:
         return _integrate_implicit_midpoint(
             m0, span, current, params, rtol, atol, max_steps,
             dt_init, dt_min, dt_max,
@@ -188,6 +199,10 @@ def integrate_adaptive(
         )
         scale = atol + rtol * jnp.sqrt(sum(m5[c] ** 2 for c in range(3)))
         ratio = err / jnp.maximum(scale, 1e-300 if dtype == jnp.float64 else 1e-30)
+        # A non-finite RHS (blown-up env) must read as a max-rate rejection,
+        # not a NaN that freezes accept=False for the whole remaining budget:
+        # map it to a huge finite ratio so dt bottoms out at dt_min.
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.asarray(1e6, dtype))
 
         accept = (ratio <= 1.0) | (dt <= dt_min)
         # PI controller (order 5): dt *= 0.9 ratio^(-1/5), clipped [0.2, 5].
@@ -336,6 +351,8 @@ def _integrate_implicit_midpoint(
         ) / 3.0
         scale = atol + rtol * jnp.sqrt(sum(y2[c] ** 2 for c in range(3)))
         ratio = err / jnp.maximum(scale, tiny)
+        # Non-finite Newton output = max-rate rejection (see explicit path).
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.asarray(1e6, dtype))
 
         accept = (ratio <= 1.0) | (dt <= dt_min)
         # Order-2 controller: dt *= 0.9 ratio^(-1/3), clipped [0.2, 5].
@@ -363,6 +380,187 @@ def _integrate_implicit_midpoint(
         (jnp.asarray(0, jnp.int32), t0, dt0, (mx0, my0, mz0), zeros_i, zeros_i),
     )
     return AdaptiveResult(m=m, n_steps=nacc, n_rejected=nrej, success=t >= span)
+
+
+# --- 3-stage Radau IIA (order 5, L-stable) ---------------------------------
+# Butcher data (Hairer & Wanner II, the tableau behind scipy's 'Radau').
+_S6 = 6.0 ** 0.5
+_RADAU_C = ((4.0 - _S6) / 10.0, (4.0 + _S6) / 10.0, 1.0)
+_RADAU_A = (
+    ((88.0 - 7.0 * _S6) / 360.0, (296.0 - 169.0 * _S6) / 1800.0, (-2.0 + 3.0 * _S6) / 225.0),
+    ((296.0 + 169.0 * _S6) / 1800.0, (88.0 + 7.0 * _S6) / 360.0, (-2.0 - 3.0 * _S6) / 225.0),
+    ((16.0 - _S6) / 36.0, (16.0 + _S6) / 36.0, 1.0 / 9.0),
+)
+# Embedded order-3 error weights and the real eigenvalue of A^-1, as used by
+# scipy's Radau error estimate err = (MU/h I - J)^-1 (f0 + (E.Z)/h).
+_RADAU_E = ((-13.0 - 7.0 * _S6) / 3.0, (-13.0 + 7.0 * _S6) / 3.0, -1.0 / 3.0)
+_RADAU_MU = 3.0 + 3.0 ** (2.0 / 3.0) - 3.0 ** (1.0 / 3.0)
+
+_RADAU_NEWTON_ITERS = 6  # full Newton from an Euler predictor
+
+
+def _integrate_radau5(
+    m0, span, current, params: LLGSParams,
+    rtol, atol, max_steps, dt_init, dt_min, dt_max,
+) -> AdaptiveResult:
+    """Batched adaptive 3-stage Radau IIA: the order-5 stiff path.
+
+    Genuine *order* parity with the scipy Radau/BDF/LSODA methods the
+    reference exposes (llgs_solver.py:26,35): order 5 and L-stable, so at
+    tight tolerances it needs O((1/tol)^(1/5)) steps where the order-2
+    implicit midpoint needs O((1/tol)^(1/2)) — measured >=10x fewer accepted
+    steps on the stiff high-damping case (scripts/bench_stiff_solvers.py).
+
+    TPU-native construction, one jitted ``lax.while_loop`` for the whole
+    batch with per-env (t, dt) masking:
+      * FULL Newton on the 9-dim per-env stage system: each iteration
+        linearizes the batched RHS at each of the 3 stage values (three
+        ``jax.linearize`` calls whose primals double as the stage RHS), so
+        convergence is quadratic and the step size is accuracy-limited, not
+        Newton-limited (a frozen start-of-step Jacobian was measured to cap
+        dt well below the embedded estimate's on this strongly nonlinear
+        RHS);
+      * the 9x9 per-env Newton matrix I9 - h (A (x) J_stage) is built by
+        einsum and solved with batched ``jnp.linalg.solve`` — (B,9,9) LU is
+        tiny next to the RHS work and stays fully batched;
+      * acceptance combines scipy's smoothed embedded order-3 estimate
+        err = (MU/h I - J)^-1 (f0 + (E.Z)/h) (a 3x3 Cramer solve) with the
+        final Newton residual, so a non-converged Newton reads as a
+        rejection rather than a silently-wrong accept;
+      * controller dt *= 0.9 ratio^(-1/4) (order-3 estimator), clip [0.2,8].
+    Accepted steps take the stiffly-accurate third stage y0 + Z3.
+    """
+    mx0, my0, mz0 = m0
+    dtype = jnp.result_type(mx0)
+    span = jnp.asarray(span, dtype)
+    current = jnp.asarray(current, dtype)
+    B = jnp.shape(mx0)
+    tiny = 1e-300 if dtype == jnp.float64 else 1e-30
+
+    A3 = jnp.asarray(_RADAU_A, dtype)
+    E3 = jnp.asarray(_RADAU_E, dtype)
+    C3 = jnp.asarray(_RADAU_C, dtype)
+    eye9 = jnp.eye(9, dtype=dtype)
+
+    def f(mx, my, mz):
+        # Per-evaluation renormalization, same as the explicit path / the
+        # reference RHS (llgs_solver.py:95-100); smooth away from 0 so
+        # linearize differentiates through it.
+        n = jnp.sqrt(mx * mx + my * my + mz * mz)
+        ok = n > 1e-12
+        safe = jnp.where(ok, n, 1.0)
+        mx = jnp.where(ok, mx / safe, 0.0)
+        my = jnp.where(ok, my / safe, 0.0)
+        mz = jnp.where(ok, mz / safe, 1.0)
+        return llgs_solver_rhs(mx, my, mz, current, params)
+
+    def fvec(y):
+        """(B,3) -> (B,3)."""
+        return jnp.stack(f(y[..., 0], y[..., 1], y[..., 2]), axis=-1)
+
+    ones = jnp.ones(B, dtype)
+    zeros = jnp.zeros(B, dtype)
+    _TANGENTS = (
+        (ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, ones)
+    )
+
+    def cond(carry):
+        i, t, dt, y, nacc, nrej = carry
+        return (i < max_steps) & jnp.any(t < span)
+
+    def body(carry):
+        i, t, dt, y, nacc, nrej = carry
+        active = t < span
+        h = jnp.where(active, jnp.minimum(dt, span - t), 0.0)
+        h_safe = jnp.where(h > 0.0, h, 1.0)  # masked envs: avoid 0-divides
+
+        def lin_at(ys):
+            """Primal RHS + Jacobian at one stage value ys (B,3):
+            one linearize, three tangent applications."""
+            (gx, gy, gz), f_lin = jax.linearize(
+                f, ys[..., 0], ys[..., 1], ys[..., 2])
+            cols = [f_lin(*tang) for tang in _TANGENTS]
+            # J[b,p,q] = d f_p / d m_q
+            J = jnp.stack(
+                [jnp.stack(col, axis=-1) for col in cols], axis=-1)
+            return jnp.stack((gx, gy, gz), axis=-1), J
+
+        f0 = fvec(y)  # (B,3)
+        Z0 = h[:, None, None] * C3[None, :, None] * f0[:, None, :]  # Euler
+
+        def newton(_, Z):
+            stages = [lin_at(y + Z[:, s, :]) for s in range(3)]
+            F = jnp.stack([s[0] for s in stages], axis=1)  # (B,3,3)
+            J_st = jnp.stack([s[1] for s in stages], axis=1)  # (B,3,3,3)
+            # Exact Newton matrix: block (i,j) = delta_ij I - h a_ij J_j.
+            M = eye9 - h[:, None, None] * jnp.einsum(
+                "ij,bjpq->bipjq", A3, J_st).reshape(B[0], 9, 9)
+            R = Z - h[:, None, None] * jnp.einsum("ij,bjc->bic", A3, F)
+            dZ = jnp.linalg.solve(M, R.reshape(B[0], 9)[..., None])
+            return Z - dZ.reshape(B[0], 3, 3)
+
+        Z = lax.fori_loop(0, _RADAU_NEWTON_ITERS, newton, Z0)
+
+        # Error smoothing below wants a step-start Jacobian.
+        _, J = lin_at(y)
+
+        y_new = y + Z[:, 2, :]  # stiffly accurate: b = last row of A
+
+        # scipy-style smoothed embedded estimate (radau.py): solve the REAL
+        # 3x3 system (MU/h I - J) err = f0 + (E.Z)/h by Cramer.
+        err_rhs = f0 + jnp.einsum("s,bsc->bc", E3, Z) / h_safe[:, None]
+        mu_h = _RADAU_MU / h_safe
+        A_nest = tuple(
+            tuple(
+                (jnp.where(p == q, mu_h, 0.0)) - J[:, p, q]
+                for q in range(3)
+            )
+            for p in range(3)
+        )
+        ex, ey, ez = _solve3(
+            A_nest, err_rhs[:, 0], err_rhs[:, 1], err_rhs[:, 2], tiny)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        err = jnp.stack((ex, ey, ez), axis=-1)
+        ratio = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))
+
+        # Fold the final Newton residual into acceptance: a non-converged
+        # Newton must reject, not accept a wrong stage solution.
+        F = jax.vmap(fvec, in_axes=1, out_axes=1)(y[:, None, :] + Z)
+        R = Z - h[:, None, None] * jnp.einsum("ij,bjc->bic", A3, F)
+        res_ratio = jnp.sqrt(
+            jnp.mean((R / scale[:, None, :]) ** 2, axis=(-2, -1)))
+        ratio = jnp.maximum(ratio, res_ratio)
+        # Non-finite (blown-up env) = max-rate rejection, not a NaN stall.
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.asarray(1e6, dtype))
+
+        accept = (ratio <= 1.0) | (dt <= dt_min)
+        # Order-3 estimator: dt *= 0.9 ratio^(-1/4), clipped [0.2, 8].
+        factor = jnp.clip(
+            0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.25), 0.2, 8.0)
+        new_dt = jnp.clip(dt * factor, dt_min, dt_max)
+
+        do = active & accept
+        nx, ny, nz = normalize_with_fallback(
+            y_new[..., 0], y_new[..., 1], y_new[..., 2], dtype)
+        y = jnp.where(do[:, None], jnp.stack((nx, ny, nz), axis=-1), y)
+        t = jnp.where(do, t + h, t)
+        nacc = nacc + do.astype(jnp.int32)
+        nrej = nrej + (active & ~accept).astype(jnp.int32)
+        dt = jnp.where(active, new_dt, dt)
+        return i + 1, t, dt, y, nacc, nrej
+
+    y0 = jnp.stack((mx0, my0, mz0), axis=-1)
+    t0 = jnp.zeros(B, dtype)
+    dt0 = jnp.full(B, dt_init, dtype)
+    zeros_i = jnp.zeros(B, jnp.int32)
+    _, t, _, y, nacc, nrej = lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), t0, dt0, y0, zeros_i, zeros_i),
+    )
+    return AdaptiveResult(
+        m=(y[..., 0], y[..., 1], y[..., 2]),
+        n_steps=nacc, n_rejected=nrej, success=t >= span,
+    )
 
 
 def trajectory_energy(m_traj, params: LLGSParams, h_applied=(0.0, 0.0, 0.0)):

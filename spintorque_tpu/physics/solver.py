@@ -235,8 +235,10 @@ class AdaptiveLLGSSolver:
     'RK45'/'DOP853'/'Radau'/'BDF'/'LSODA'), delegating to the batched
     TPU-native integrators in physics/adaptive.py: the explicit names run
     the embedded Dormand-Prince RK5(4) pair, the stiff names run the
-    A-stable implicit midpoint (Newton + Cramer 3x3, step-doubling
-    control; golden-tested against scipy Radau). Accepts a single (3,)
+    3-stage Radau IIA (order 5, L-stable, full Newton on the batched 9-dim
+    stage system; golden-tested against scipy Radau and matching its
+    accepted-step counts — docs/STIFF_SOLVER_STEPS.json), and 'midpoint'
+    keeps the order-2 implicit midpoint. Accepts a single (3,)
     vector or a (B, 3) batch - the whole batch adapts in lockstep with
     per-env (t, dt) bookkeeping.
 

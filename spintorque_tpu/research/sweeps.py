@@ -147,7 +147,10 @@ def switching_probability_diagram(
             mesh=mesh, data_axis=data_axis,
         )
         mx, my, mz = res.m
-        switched = (jnp.sign(mz) != jnp.sign(mz0)) & ~res.failed
+        # Strict sign flip: mz ending exactly at 0.0 has not crossed into
+        # the opposite well, so it must not count (review finding; a sign()
+        # inequality would count sign 0 as switched).
+        switched = (mz * mz0 < 0.0) & ~res.failed
         p, failed_frac = _ensemble_stats(switched, res.failed, n_j, n_t)
         return p, failed_frac, mz
 
