@@ -196,6 +196,12 @@ class SpinTorqueArrayEnv:
             target.reshape(config.n_devices, 3), dtype
         )
 
+        if config.coupling_update not in ("sequential", "simultaneous"):
+            raise ValueError(
+                "coupling_update must be 'sequential' or 'simultaneous', got "
+                f"{config.coupling_update!r}"
+            )
+
         if reward_components is None:
             reward_components = _default_reward_config(config)
         self.reward = CompositeReward(reward_components)
@@ -309,6 +315,51 @@ class SpinTorqueArrayEnv:
         # Zero-current devices stay exactly put (array_env.py:528-531).
         return jnp.where((jnp.abs(current) > 1e-12)[:, None], out, m)
 
+    def _simultaneous_sweep(self, pattern, mask, current, duration):
+        """All affected devices advance together (coupling_update=
+        'simultaneous'): each of the 10 Euler substeps assembles EVERY
+        device's field from the same pre-substep pattern in one
+        (N,N)x(B,N,3) einsum and refreshes the slope, instead of the
+        reference's sequential-in-place constant-slope loop
+        (array_env.py:446-531). Same per-device dynamics law (hardcoded
+        alpha/gamma, tau = 0.1 J m x (m x z), zero-current freeze) so the
+        two modes differ ONLY in coupling semantics; permutation-
+        equivariant and lax.scan-free, so it scales to large N."""
+        cfg = self.config
+        dtype = cfg.jnp_dtype
+        p = self.device_params
+        from ..constants import MU0
+
+        e = jnp.asarray(p.easy_axis, dtype)
+        e = e / jnp.linalg.norm(e)
+        h_k = 2.0 * p.uniaxial_anisotropy / (MU0 * p.saturation_magnetization)
+        p_hat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        j = current[:, None, None]
+        dt = (duration / 10.0)[:, None, None]
+        act = (mask & (jnp.abs(current)[:, None] > 1e-12))[:, :, None]
+
+        def substep(_, m):
+            cos_t = jnp.einsum("bnc,c->bn", m, e)
+            h = h_k * cos_t[..., None] * e
+            h = h + jnp.einsum("nm,bmc->bnc", self.coupling, m)
+            prec = -_HARDCODED_GAMMA * jnp.cross(m, h)
+            dmdt = prec + _HARDCODED_ALPHA * jnp.cross(m, prec)
+            dmdt = dmdt + 0.1 * j * jnp.cross(
+                m, jnp.cross(m, jnp.broadcast_to(p_hat, m.shape)))
+            out = m + dmdt * dt
+            out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+            return jnp.where(act, out, m)
+
+        new_pattern = jax.lax.fori_loop(0, 10, substep, pattern)
+        # Energy law identical to the sequential mode: pre-update
+        # resistance per affected device (each device's own pre-step m).
+        r = _resistance(cfg.device_type, pattern[..., 0], pattern[..., 1],
+                        pattern[..., 2], self.device_params)
+        e_dev = _pulse_energy(current[:, None], duration[:, None], r,
+                              self.device_params.area)
+        step_energy = jnp.sum(jnp.where(mask, e_dev, 0.0), axis=-1)
+        return new_pattern, step_energy
+
     def _similarity(self, pattern, target):
         return jnp.mean(jnp.sum(pattern * target, axis=-1), axis=-1)
 
@@ -355,28 +406,33 @@ class SpinTorqueArrayEnv:
 
         prev_similarity = self._similarity(state.pattern, state.target)
 
-        # Sequential masked update over devices: device d sees updates of
-        # devices < d through the coupling field, matching the reference's
-        # in-place loop ordering.
-        def dev_step(carry, d):
-            pattern, energy = carry
-            m_d = pattern[:, d, :]
-            h = self._device_field(pattern, d)
-            m_new = self._device_update(m_d, h, current, duration)
-            active = mask[:, d]
-            m_out = jnp.where(active[:, None], m_new, m_d)
-            pattern = pattern.at[:, d, :].set(m_out)
-            r = _resistance(cfg.device_type, m_d[:, 0], m_d[:, 1], m_d[:, 2],
-                            self.device_params)
-            e = _pulse_energy(current, duration, r, self.device_params.area)
-            energy = energy + jnp.where(active, e, 0.0)
-            return (pattern, energy), None
+        if cfg.coupling_update == "simultaneous":
+            pattern, step_energy = self._simultaneous_sweep(
+                state.pattern, mask, current, duration)
+        else:
+            # Sequential masked update over devices: device d sees updates
+            # of devices < d through the coupling field, matching the
+            # reference's in-place loop ordering.
+            def dev_step(carry, d):
+                pattern, energy = carry
+                m_d = pattern[:, d, :]
+                h = self._device_field(pattern, d)
+                m_new = self._device_update(m_d, h, current, duration)
+                active = mask[:, d]
+                m_out = jnp.where(active[:, None], m_new, m_d)
+                pattern = pattern.at[:, d, :].set(m_out)
+                r = _resistance(cfg.device_type, m_d[:, 0], m_d[:, 1],
+                                m_d[:, 2], self.device_params)
+                e = _pulse_energy(current, duration, r,
+                                  self.device_params.area)
+                energy = energy + jnp.where(active, e, 0.0)
+                return (pattern, energy), None
 
-        (pattern, step_energy), _ = jax.lax.scan(
-            dev_step,
-            (state.pattern, jnp.zeros((B,), dtype)),
-            jnp.arange(N, dtype=jnp.int32),
-        )
+            (pattern, step_energy), _ = jax.lax.scan(
+                dev_step,
+                (state.pattern, jnp.zeros((B,), dtype)),
+                jnp.arange(N, dtype=jnp.int32),
+            )
 
         total_energy = state.total_energy + step_energy
         step = state.step + 1

@@ -144,3 +144,99 @@ def test_vector_and_dict_observation_modes():
         "current_pattern", "target_pattern", "pattern_similarity",
         "steps_remaining", "total_energy",
     }
+
+
+# --- coupling_update='simultaneous' (round-4 verdict #5) -------------------
+
+
+def test_simultaneous_mode_selectable_and_validated():
+    env = make_env(batch=2, coupling_update="simultaneous")
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    action = jnp.asarray([[5.0, 1e6, 1e-9]] * 2, jnp.float64)
+    state, ts = env.step(state, action)
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(state.pattern), axis=-1), 1.0, rtol=1e-12)
+    with pytest.raises(ValueError, match="coupling_update"):
+        make_env(coupling_update="bogus")
+
+
+# The inline quirk dynamics use the HARDCODED gamma with the device's
+# anisotropy field; at the stock K_u the 'global' 1 ns pulse has
+# gamma*H*dt >> 1 and the renormalized Euler is effectively chaotic, which
+# would swamp any mode comparison with discretization noise. A small K_u
+# keeps gamma*H*dt << 1 so the two coupling semantics are actually
+# comparable (both modes are exercised at stock K_u by the other tests).
+_TAME = dict(uniaxial_anisotropy=1.0)
+
+
+def _tame_env(mode, coupling_strength, batch=3):
+    return SpinTorqueArrayEnv(
+        batch_size=batch, device_params=dict(_TAME),
+        config=ArrayEnvConfig(
+            dtype="float64", autoreset=False, action_mode="global",
+            coupling_update=mode, coupling_strength=coupling_strength),
+    )
+
+
+def test_simultaneous_matches_sequential_at_weak_coupling():
+    """Energy sanity + dynamics agreement where the semantics should not
+    matter: weak coupling, tame slopes. Pre-step resistances are identical
+    by construction (each device's own m is untouched until its turn in the
+    sequential scan), so step energies must agree exactly; patterns agree
+    to the (second-order) constant-slope-vs-refreshed-slope difference."""
+    env_seq = _tame_env("sequential", 1e-4)
+    env_sim = _tame_env("simultaneous", 1e-4)
+    state, _ = env_seq.reset(jax.random.PRNGKey(2))
+    action = jnp.asarray([[0.0, 1e6]] * 3, jnp.float64)
+    s_seq, ts_seq = env_seq.step(state, action)
+    s_sim, ts_sim = env_sim.step(state, action)
+    np.testing.assert_allclose(
+        np.asarray(ts_sim.info["step_energy"]),
+        np.asarray(ts_seq.info["step_energy"]), rtol=1e-12)
+    moved = np.abs(np.asarray(s_seq.pattern) - np.asarray(state.pattern)).max()
+    assert moved > 1e-5  # the comparison is not vacuous
+    np.testing.assert_allclose(
+        np.asarray(s_sim.pattern), np.asarray(s_seq.pattern), atol=1e-6)
+
+
+def test_simultaneous_is_permutation_equivariant_sequential_is_not():
+    """The physical-correctness property the sequential quirk lacks:
+    relabeling devices (permuting the pattern and the coupling matrix
+    consistently) must permute the outcome. Holds for 'simultaneous',
+    demonstrably fails for 'sequential' at strong coupling."""
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(16)
+    action = jnp.asarray([[0.0, 1e6]] * 2, jnp.float64)
+
+    def run(mode):
+        env_a = _tame_env(mode, 2000.0, batch=2)
+        env_b = _tame_env(mode, 2000.0, batch=2)
+        # Consistently relabeled copy: permute the coupling before the
+        # first step traces (self.coupling is captured at trace time).
+        env_b.coupling = env_a.coupling[perm][:, perm]
+        state, _ = env_a.reset(jax.random.PRNGKey(3))
+        state_b = state.replace(pattern=state.pattern[:, perm, :],
+                                target=state.target[:, perm, :])
+        s_a, _ = env_a.step(state, action)
+        s_b, _ = env_b.step(state_b, action)
+        return (np.asarray(s_a.pattern)[:, perm, :], np.asarray(s_b.pattern))
+
+    out_perm, out_b = run("simultaneous")
+    np.testing.assert_allclose(out_b, out_perm, atol=1e-9)
+    out_perm, out_b = run("sequential")
+    assert np.abs(out_b - out_perm).max() > 1e-3  # order dependence is real
+
+
+def test_simultaneous_scales_to_large_arrays():
+    """No lax.scan over N: a 16x16 array (N=256, beyond the reference's
+    O(N^2)-per-device Python loop regime) steps in one jitted program."""
+    env = make_env(batch=2, rows=16, cols=16, coupling_update="simultaneous",
+                   action_mode="global", dtype="float32")
+    state, _ = env.reset(jax.random.PRNGKey(4))
+    action = jnp.asarray([[0.0, 1e6]] * 2, jnp.float32)
+    state, ts = env.step(state, action)
+    assert state.pattern.shape == (2, 256, 3)
+    assert np.isfinite(np.asarray(state.pattern)).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(state.pattern), axis=-1), 1.0, rtol=1e-5)
