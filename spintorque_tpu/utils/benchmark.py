@@ -28,6 +28,7 @@ def measure_env_throughput(
     seed: int = 0,
     make_action=None,
     return_final=False,
+    mesh=None,
 ):
     """Steady-state throughput of the public vectorized env step program.
 
@@ -43,6 +44,10 @@ def measure_env_throughput(
     whose action space differs from SpinTorqueEnv's (array/skyrmion) - the
     SAME measurement program serves every env, so the recorded artifact
     can never drift from the headline (scripts/record_tpu_bench.py).
+
+    ``mesh`` overrides the default all-devices mesh (scripts/
+    pod_validation.py measures per-chip scaling by comparing a full mesh
+    against a single-device mesh through this same program).
 
     Returns (rates, total_env_steps_per_block) - rates is a list of
     ``blocks`` env-steps/s numbers (total across all mesh devices) - plus
@@ -68,7 +73,8 @@ def measure_env_throughput(
 
     key = jax.random.PRNGKey(seed)
     state, obs = env.reset(key)
-    mesh = make_mesh()
+    if mesh is None:
+        mesh = make_mesh()
     state = shard_env_state(state, mesh)
     obs = jax.tree.map(lambda x: shard_batch(x, mesh), obs)
 

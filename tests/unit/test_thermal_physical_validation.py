@@ -148,3 +148,75 @@ def test_physical_mode_switching_rate_matches_neel_brown():
             f"sigma={sigma}: measured rate {rate:.3e} vs Neel-Brown "
             f"lambda_1 {lam:.3e} (ratio {ratio:.3f})"
         )
+
+
+# --- always-on scaled variants (round-4 verdict #9) ------------------------
+# The full-size tests above are `slow`-marked and deselected from the
+# default run, but the ROADMAP names this physics gate as the approval bar
+# for any sampler change — so the default suite must exercise it too.
+# Same physics, same machinery, smaller ensembles / coarser dt / wider
+# statistical gates (fixed seeds; gate margins >=4x the observed spread).
+
+
+def test_boltzmann_equilibrium_fast():
+    """Scaled equilibrium gate: B=1024, dt=4e-13, 1.5 ns — wide KS and
+    second-moment gates that would still catch a wrong sigma formula (a
+    missing (1+alpha^2) or a 2x variance error shifts <m_z^2> by >>0.05)."""
+    delta, alpha, dt, span, B = 1.5, 0.3, 4e-13, 1.5e-9, 1024
+    key = jax.random.PRNGKey(11)
+    m = jax.random.normal(key, (B, 3), jnp.float32)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    res = integrate_pulse(
+        (m[:, 0], m[:, 1], m[:, 2]),
+        jnp.full((B,), span, jnp.float32), jnp.zeros((B,), jnp.float32),
+        _params(delta, alpha), _config(dt, span),
+        key=jax.random.fold_in(key, 99), temperature=TEMP,
+    )
+    assert not bool(res.failed.any())
+    mz = np.asarray(res.m[2])
+
+    xs = np.linspace(-1.0, 1.0, 2001)
+    pdf = np.exp(delta * xs**2)
+    cdf = sp_integrate.cumulative_trapezoid(pdf, xs, initial=0.0)
+    cdf /= cdf[-1]
+    ks = stats.kstest(mz, lambda v: np.interp(v, xs, cdf))
+    assert ks.pvalue > 1e-5, f"m_z distribution rejects Boltzmann: {ks}"
+    m2_theory = np.trapezoid(xs**2 * pdf, xs) / np.trapezoid(pdf, xs)
+    assert abs(float((mz**2).mean()) - m2_theory) < 0.05
+
+
+def test_neel_brown_switching_rate_fast():
+    """Scaled switching-rate gate: one barrier height, B=512, 6 chunks;
+    the [0.4, 2.5] ratio gate is wide but still pins the exp(-Delta)
+    escape physics (a wrong sigma changes the rate by e^Delta-level
+    factors)."""
+    alpha, dt, B, sigma = 0.5, 4e-13, 512, 1.5
+    D = alpha * GAMMA * KT / ((1 + alpha**2) * MU0 * MS * VOL)
+    lam = _fp_lambda1(sigma, D, n=400)
+    chunk = 1.0 / (10.0 * lam)
+    params = _params(sigma, alpha)
+    cfg = _config(dt, chunk)
+    key = jax.random.PRNGKey(21)
+    mx = jnp.zeros((B,), jnp.float32)
+    my = jnp.zeros((B,), jnp.float32)
+    mz = jnp.ones((B,), jnp.float32)
+    spans = jnp.full((B,), chunk, jnp.float32)
+    cur = jnp.zeros((B,), jnp.float32)
+    means = []
+    for k in range(6):
+        res = integrate_pulse(
+            (mx, my, mz), spans, cur, params, cfg,
+            key=jax.random.fold_in(key, k), temperature=TEMP,
+        )
+        mx, my, mz = res.m
+        means.append(float(jnp.mean(mz)))
+    means = np.asarray(means)
+    ts = (np.arange(6) + 1) * chunk
+    mask = (means > 0.05) & (means < 0.95)
+    assert mask.sum() >= 3, means
+    rate = -np.polyfit(ts[mask], np.log(means[mask]), 1)[0]
+    ratio = rate / lam
+    assert 0.4 < ratio < 2.5, (
+        f"measured rate {rate:.3e} vs Neel-Brown lambda_1 {lam:.3e} "
+        f"(ratio {ratio:.3f})"
+    )
