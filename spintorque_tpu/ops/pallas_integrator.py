@@ -387,17 +387,38 @@ def _kernel(
                 jnp.where(ok, nz, 1.0),
             )
 
-        def substep_delta(mx, my, mz):
+        def draw_noise():
+            """All PRNG work for ONE substep (None when deterministic).
+
+            Split out of substep_delta so the unrolled loop body can issue
+            a whole trip's draws BEFORE the first RK4 chain op (see run()):
+            the sampler's transcendentals depend only on the serial PRNG
+            state, never on the magnetization chain, so fronting them gives
+            the static scheduler license to fill the chain's dependency
+            stalls with sampling work instead of interleaving draw->use
+            pairs in program order (round-4 verdict #1)."""
+            if not thermal:
+                return None
+            if method in ("euler", "heun"):
+                return cast_noise(_noise3(sigma, shape))
+            if rk4_per_substep:
+                # One field realization across all four stages
+                # (rk4_noise='per_substep'): 2 Box-Muller transforms per
+                # substep instead of 6 - transcendentals dominate thermal.
+                return [cast_noise(_noise3(sigma, shape))] * 4
+            return [cast_noise(s) for s in _noise_stages(sigma, shape, 4)]
+
+        def substep_delta(mx, my, mz, drawn):
             """One substep's (dx, dy, dz) increment - in bf16 when
             bf16_rhs, else f32 with the exact op order of the XLA path."""
             mx, my, mz = cast_state(mx, my, mz)
             if method == "euler":
-                noise = cast_noise(_noise3(sigma, shape)) if thermal else zero_noise
+                noise = drawn if thermal else zero_noise
                 fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
                 return dt_c * fx, dt_c * fy, dt_c * fz
             if method == "heun":
                 # Stochastic Heun: corrector reuses the predictor's noise.
-                noise = cast_noise(_noise3(sigma, shape)) if thermal else zero_noise
+                noise = drawn if thermal else zero_noise
                 fx, fy, fz = rhs_with_noise(mx, my, mz, noise)
                 gx, gy, gz = rhs_with_noise(
                     mx + dt_c * fx, my + dt_c * fy, mz + dt_c * fz, noise
@@ -407,15 +428,7 @@ def _kernel(
                     0.5 * dt_c * (fy + gy),
                     0.5 * dt_c * (fz + gz),
                 )
-            if not thermal:
-                stage = [zero_noise] * 4
-            elif rk4_per_substep:
-                # One field realization across all four stages
-                # (rk4_noise='per_substep'): 2 Box-Muller transforms per
-                # substep instead of 6 - transcendentals dominate thermal.
-                stage = [cast_noise(_noise3(sigma, shape))] * 4
-            else:
-                stage = [cast_noise(s) for s in _noise_stages(sigma, shape, 4)]
+            stage = drawn if thermal else [zero_noise] * 4
             k1x, k1y, k1z = rhs_with_noise(mx, my, mz, stage[0])
             k1x, k1y, k1z = dt_c * k1x, dt_c * k1y, dt_c * k1z
             k2x, k2y, k2z = rhs_with_noise(mx + k1x / 2, my + k1y / 2, mz + k1z / 2, stage[1])
@@ -430,11 +443,11 @@ def _kernel(
                 (k1z + 2 * k2z + 2 * k3z + k4z) / 6,
             )
 
-        def body(i, carry):
+        def body(i, carry, drawn):
             # ``failed`` is carried as int32: Mosaic cannot legalize i1
             # vectors as scf.for loop carries.
             mx, my, mz, failed = carry
-            dx, dy, dz = substep_delta(mx, my, mz)
+            dx, dy, dz = substep_delta(mx, my, mz, drawn)
             nx, ny, nz = acc(mx, dx), acc(my, dy), acc(mz, dz)
             nx, ny, nz = normalize(nx, ny, nz)
             active = i < n
@@ -446,9 +459,9 @@ def _kernel(
                 jnp.maximum(failed, zero_row.astype(jnp.int32)),
             )
 
-        return body, (mx0, my0, mz0, jnp.zeros(shape, jnp.int32))
+        return body, (mx0, my0, mz0, jnp.zeros(shape, jnp.int32)), draw_noise
 
-    def run(body, init, lo, hi):
+    def run(body, draw, init, lo, hi):
         """Masked loop over substep indices [lo, hi) with in-body unroll;
         returns (carry, end_index) where end_index >= hi is the first index
         NOT executed (unrolled trips overshoot hi by up to unroll-1).
@@ -458,26 +471,33 @@ def _kernel(
         stay active (re-running would double-advance those envs). The
         thermal PRNG stream advances through overshoot, which is fine -
         the kernel stream is self-defined. Unrolling trades scf.for
-        control overhead for ILP in the latency-bound body."""
+        control overhead for ILP in the latency-bound body.
+
+        The WHOLE trip's noise is drawn up front (``draw``), before the
+        first chain op, so the sampler's serial-PRNG work is free to
+        overlap the magnetization chain's dependency stalls instead of
+        being interleaved draw->use in program order (round-4 verdict #1;
+        deterministic mode draws nothing and is bit-identical)."""
         if unroll <= 1:
             def body1(i, carry):
                 _SPARE.clear()  # spare tracers must not cross the body trace
-                return body(i, carry)
+                return body(i, carry, draw())
 
             return jax.lax.fori_loop(lo, hi, body1, init), hi
 
         def body_u(j, carry):
             _SPARE.clear()  # fresh per body trace; amortizes WITHIN the trip
+            drawn = [draw() for _ in range(unroll)]  # front-load PRNG work
             for k in range(unroll):
-                carry = body(lo + j * unroll + k, carry)
+                carry = body(lo + j * unroll + k, carry, drawn[k])
             return carry
 
         trips = (hi - lo + unroll - 1) // unroll
         return jax.lax.fori_loop(0, trips, body_u, init), lo + trips * unroll
 
     if chains <= 1:
-        body, init = make_body(loads)
-        (mx, my, mz, failed), _ = run(body, init, 0, nmax_ref[tile, 0])
+        body, init, draw = make_body(loads)
+        (mx, my, mz, failed), _ = run(body, draw, init, 0, nmax_ref[tile, 0])
         ox_ref[:] = mx
         oy_ref[:] = my
         oz_ref[:] = mz
@@ -503,19 +523,30 @@ def _kernel(
         rows_per_chain = loads[0].shape[0] // chains
         bodies = []
         inits = []
+        draws = []
         for c in range(chains):
             sl = slice(c * rows_per_chain, (c + 1) * rows_per_chain)
-            b, i0 = make_body([v[sl] for v in loads])
+            b, i0, d = make_body([v[sl] for v in loads])
             bodies.append(b)
             inits.append(i0)
+            draws.append(d)
 
         def seg_body(active_chains):
-            def body(i, carry):
+            def body(i, carry, drawn):
                 return tuple(
-                    bodies[c](i, carry[c]) if c < active_chains else carry[c]
+                    bodies[c](i, carry[c], drawn[c])
+                    if c < active_chains else carry[c]
                     for c in range(chains)
                 )
             return body
+
+        def seg_draw(active_chains):
+            def draw():
+                return tuple(
+                    draws[c]() if c < active_chains else None
+                    for c in range(chains)
+                )
+            return draw
 
         carry = tuple(inits)
         lo = jnp.int32(0)
@@ -523,7 +554,7 @@ def _kernel(
         # threads the unroll-overshoot end forward so no index repeats.
         for j in range(chains - 1, -1, -1):
             hi = jnp.maximum(nmax_ref[tile, j], lo)
-            carry, lo = run(seg_body(j + 1), carry, lo, hi)
+            carry, lo = run(seg_body(j + 1), seg_draw(j + 1), carry, lo, hi)
         for c in range(chains):
             sl = slice(c * rows_per_chain, (c + 1) * rows_per_chain)
             mx, my, mz, failed = carry[c]
