@@ -26,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--updates", type=int, default=40)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="network matmul dtype (the bf16 learning gate)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -40,7 +43,8 @@ def main():
     trainer = PPOTrainer(
         env,
         PPOConfig(rollout_steps=8, num_epochs=4, num_minibatches=4,
-                  hidden_sizes=(64, 64), learning_rate=1e-3, ent_coef=0.01),
+                  hidden_sizes=(64, 64), learning_rate=1e-3, ent_coef=0.01,
+                  compute_dtype=args.compute_dtype),
     )
     curve = []
 

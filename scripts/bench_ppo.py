@@ -1,14 +1,26 @@
 """PPO train-step breakdown bench: where does the update time go?
 
 Measures, in steady state on the local accelerator:
-  * rollout-only (the lax.scan of policy + env._step_impl, jitted alone)
-  * update-only (GAE + minibatched epochs, jitted alone, on a fixed traj)
   * full train_step (the production program)
+  * the SAME program with the update trace-ablated (update_from_traj
+    replaced by a pass-through that still consumes every trajectory leaf,
+    so XLA cannot prune rollout work) -> the update's IN-SITU marginal
+  * env-steps only (random actions, no policy net) -> the policy's
+    in-situ marginal
+  * isolated rollout-only and update-only executables, kept as REFERENCE
+    diagnostics only: round 4 recorded their sum EXCEEDING the full step
+    ("unaccounted_ms": -8.6) because separately-jitted phases are
+    different executables with different schedules and extra output
+    materialization - they are not an additive decomposition. The in-situ
+    ablation marginals are additive BY CONSTRUCTION:
+    env_only + policy_marginal + update_marginal == train_step.
 
 Prints one JSON object with ms per phase and derived env-steps/s so the
-rollout/training gap is attributable (VERDICT round 2, item 1).
+rollout/training gap is attributable (VERDICT round 2 item 1; accounting
+model fixed per VERDICT round 4 item 4).
 
 Run: python scripts/bench_ppo.py [--batch 4096] [--rollout 16]
+                                 [--compute-dtype bfloat16]
 """
 
 import argparse
@@ -43,6 +55,9 @@ def main():
     ap.add_argument("--rollout", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--minibatches", type=int, default=4)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="network matmul dtype (PPOConfig.compute_dtype)")
     ap.add_argument("--out", default=None,
                     help="artifact path; default writes the canonical "
                          "docs/BENCH_PPO_TPU_v5e.json ONLY for the "
@@ -59,6 +74,7 @@ def main():
         rollout_steps=args.rollout,
         num_epochs=args.epochs,
         num_minibatches=args.minibatches,
+        compute_dtype=args.compute_dtype,
     )
     trainer = PPOTrainer(env, cfg)
     ts = trainer.init(jax.random.PRNGKey(0))
@@ -66,6 +82,7 @@ def main():
     results = {
         "batch": args.batch,
         "rollout_steps": args.rollout,
+        "compute_dtype": args.compute_dtype,
         "use_pallas": bool(env.config.use_pallas),
         "backend": jax.default_backend(),
     }
@@ -79,6 +96,35 @@ def main():
     steps_per_update = args.rollout * args.batch
     results["train_step_ms"] = round(t_full * 1e3, 3)
     results["train_env_steps_per_s"] = round(steps_per_update / t_full, 1)
+
+    # --- update trace-ablated: the IN-SITU rollout cost -------------------
+    # Same _train_step_impl structure, same rollout scan, but
+    # update_from_traj is replaced AT TRACE TIME with a pass-through whose
+    # outputs depend (at 1e-30 weight) on every trajectory leaf, so XLA
+    # cannot dead-code-eliminate the value head or log-prob work the real
+    # update consumes. t_full - t_noupdate is the update's marginal in the
+    # production executable.
+    orig_update = trainer.update_from_traj
+
+    def no_update(params, opt_state, traj, last_obs, key):
+        keep = sum(
+            jnp.asarray(v, jnp.float32).mean() for v in jax.tree.leaves(traj)
+        ) + jnp.asarray(last_obs, jnp.float32).mean()
+        losses = jnp.zeros((args.epochs, args.minibatches)) + keep * 1e-30
+        auxes = dict(pg_loss=losses, v_loss=losses, entropy=losses)
+        return params, opt_state, losses, auxes
+
+    try:
+        trainer.update_from_traj = no_update
+        noupdate_step = jax.jit(trainer._train_step_impl)
+        t_noupd, _ = timed(
+            noupdate_step, ts, block=lambda r: r[0].params,
+            label="train_step(update ablated)",
+        )
+    finally:
+        trainer.update_from_traj = orig_update
+    results["train_step_update_ablated_ms"] = round(t_noupd * 1e3, 3)
+    results["update_in_situ_ms"] = round((t_full - t_noupd) * 1e3, 3)
 
     # --- rollout only -----------------------------------------------------
     @jax.jit
@@ -146,10 +192,23 @@ def main():
         update_only, ts.params, ts.opt_state, ts.key, traj, last_obs,
         block=lambda r: r[2], label="update_only",
     )
-    results["update_only_ms"] = round(t_upd * 1e3, 3)
+    results["update_only_isolated_ms"] = round(t_upd * 1e3, 3)
 
-    results["accounted_ms"] = round((t_roll + t_upd) * 1e3, 3)
-    results["unaccounted_ms"] = round((t_full - t_roll - t_upd) * 1e3, 3)
+    # Additive in-situ decomposition (sums to train_step_ms by
+    # construction; the isolated rollout/update numbers above are separate
+    # executables and must NOT be summed - that was round 4's negative
+    # "unaccounted_ms"):
+    results["phases_in_situ_ms"] = {
+        "env_steps": results["env_only_ms"],
+        "policy_marginal": round((t_noupd - t_env) * 1e3, 3),
+        "update_marginal": results["update_in_situ_ms"],
+    }
+    results["phases_sum_ms"] = round(
+        sum(results["phases_in_situ_ms"].values()), 3)
+    results["phases_sum_vs_full_pct"] = round(
+        100.0 * results["phases_sum_ms"] / results["train_step_ms"], 2)
+    results["train_vs_rollout_only_pct"] = round(
+        100.0 * t_roll / t_full, 2)
     # 'recorded' set BEFORE printing so stdout JSON and the persisted
     # artifact are byte-identical objects (review finding).
     results["recorded"] = time.strftime("%Y-%m-%d")
@@ -164,6 +223,7 @@ def main():
     canonical = (
         (args.batch, args.rollout, args.epochs, args.minibatches)
         == (4096, 16, 4, 4)
+        and args.compute_dtype == PPOConfig().compute_dtype
         and jax.default_backend() == "tpu"
     )
     out = args.out

@@ -129,6 +129,37 @@ def tpu_kernel_available() -> bool:
     return _TPU_PROBE
 
 
+def _cos_sin_2pi(u):
+    """Signed (cos, sin) of theta = 2*pi*u for u in [0, 1).
+
+    Quadrant folding (theta = (pi/2)(k + r), |r| <= 1/2, k = round(4u))
+    plus the classic Cephes float32 minimax polynomials for cos/sin on
+    |x| <= pi/4 - the same ~1-ulp accuracy class as the generic libm cos
+    this replaces, WITHOUT its general-purpose range reduction. Motivation
+    (docs/VPU_OP_COSTS_TPU_v5e.json, measured dependent-op latencies on
+    v5e): lowered jnp.cos costs ~64 ns/vreg while mul/add-class ops cost
+    ~1.3 ns, so the single cos dominated the whole Box-Muller transform;
+    this fold + two short polynomials yields BOTH trig values for about a
+    third of one lowered cos. The quadrant index also supplies the signs,
+    so the pair needs no separate sign draw and no second sqrt.
+    """
+    q = u * 4.0
+    k = jnp.floor(q + 0.5)
+    x = (q - k) * (0.5 * math.pi)  # |x| <= pi/4
+    z = x * x
+    cp = ((2.443315711809948e-5 * z - 1.388731625493765e-3) * z
+          + 4.166664568298827e-2) * (z * z) - 0.5 * z + 1.0
+    sp = (((-1.9515295891e-4 * z + 8.3321608736e-3) * z
+           - 1.6666654611e-1) * z) * x + x
+    kb = jnp.bitwise_and(k.astype(jnp.int32), 3)
+    swap = jnp.bitwise_and(kb, 1) == 1
+    c = jnp.where(swap, sp, cp)
+    s = jnp.where(swap, cp, sp)
+    c = jnp.where((kb == 1) | (kb == 2), -c, c)
+    s = jnp.where((kb == 2) | (kb == 3), -s, s)
+    return c, s
+
+
 def _normal_pair_from_bits(shape):
     """Two independent standard normals per Box-Muller transform (using both
     halves costs one log per TWO draws).
@@ -140,28 +171,22 @@ def _normal_pair_from_bits(shape):
     uniforms are built with the mantissa-bitcast trick: keep 23 random
     mantissa bits under exponent 0x3F8 to get f in [1, 2), subtract 1.
 
-    The classical sin half is replaced by eps*sqrt(r^2 - z0^2) with eps an
-    independent random sign: conditioned on cos(theta), theta uniform makes
-    sign(sin(theta)) a fair coin independent of |sin| = sqrt(1-cos^2), so
-    the pair's joint distribution is EXACTLY Box-Muller's (no tail
-    truncation - the Neel-Brown switching-rate test gates that), while a
-    VPU sqrt is much cheaper than a sin polynomial. The sign comes from
-    bit 31 of the theta word, disjoint from the 23 mantissa bits the
-    uniform consumes. Validated by the KS/moment tests in
+    The pair is (r cos theta, r sin theta) with r = sqrt(-2 log u1) and
+    theta = 2 pi u2 - EXACT Box-Muller (no tail truncation - the
+    Neel-Brown switching-rate test gates that), with both trig values from
+    one quadrant-folded polynomial evaluation (_cos_sin_2pi; ~1 ulp, the
+    same accuracy class as the lowered libm cos it replaced - history:
+    round 4 used one cos and recovered sin as a sign times
+    sqrt(r^2 - z0^2); the fold is cheaper than that single cos was).
+    Validated by the KS/moment tests in
     tests/unit/test_pallas_integrator.py (which also check half-to-half
-    independence).
+    independence) and on hardware by scripts/verify_pallas_thermal.py.
     """
     u1 = 1.0 - _uniform_from_bits(shape)  # (0, 1] - safe for log
-    bits2 = _prng_random_bits(shape)
-    mant2 = jnp.bitwise_or(
-        jnp.bitwise_and(bits2, jnp.int32(0x7FFFFF)), jnp.int32(0x3F800000)
-    )
-    u2 = pltpu.bitcast(mant2, jnp.float32) - 1.0
-    r2 = -2.0 * jnp.log(u1)
-    z0 = jnp.sqrt(r2) * jnp.cos((2.0 * math.pi) * u2)
-    eps = jnp.where(bits2 < 0, -1.0, 1.0)  # sign bit of the theta word
-    z1 = eps * jnp.sqrt(jnp.maximum(r2 - z0 * z0, 0.0))
-    return z0, z1
+    u2 = _uniform_from_bits(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    c, s = _cos_sin_2pi(u2)
+    return r * c, r * s
 
 
 # Raw-bits source, indirected so tests can substitute a threefry-based
@@ -869,13 +894,14 @@ def _pallas_core(arrays, seed, *, config: IntegratorConfig, easy_z: bool):
     kernel = functools.partial(
         _kernel, method=config.method, thermal=config.thermal, easy_z=easy_z,
         rk4_per_substep=(config.rk4_noise == "per_substep"),
-        # Per the round-4 multi-trial sweeps under the chains=4/32-row
-        # defaults: deterministic fastest at unroll=16 (2.51-2.75 ms,
-        # docs/BENCH_DUAL4_TPU_v5e.json); thermal per_substep - re-swept
-        # after the amortized-sampler change - at unroll=8 (3.16-3.31 ms
-        # over 5 fresh compiles, docs/BENCH_DUAL5/6_TPU_v5e.json; 4 gives
-        # 3.28-3.34, 2 gives 3.41).
-        unroll=_SUBSTEP_UNROLL_OVERRIDE or (8 if config.thermal else 16),
+        # Per the round-5 fresh-compile-median sweeps under the
+        # chains=4/32-row defaults: deterministic fastest at unroll=16
+        # (2.64 ms median, docs/BENCH_DUAL4 + BENCH_TRIG_FOLD), and with
+        # the quadrant-folded trig sampler the thermal winner moved
+        # 8 -> 16 too (2.77 ms median vs 2.89 at u8, 3.34 at u4 -
+        # docs/BENCH_TRIG_FOLD_TPU_v5e.json; the round-4 libm-cos sampler
+        # had favored u8 at 3.16-3.31, docs/BENCH_DUAL5/6).
+        unroll=_SUBSTEP_UNROLL_OVERRIDE or 16,
         chains=chains,
         bf16_rhs=bool(config.bf16_rhs),
     )

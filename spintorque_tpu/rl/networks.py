@@ -30,13 +30,22 @@ class ActorCritic(nn.Module):
     discrete: bool = False
     hidden_sizes: Sequence[int] = (256, 256)
     activation: str = "tanh"
+    # MXU compute dtype for the Dense layers. Parameters and optimizer
+    # state stay float32 (flax param_dtype default); 'bfloat16' runs the
+    # matmuls at the MXU's native rate and the heads cast back to float32
+    # before any probability/loss math, so log-prob ratios and GAE stay in
+    # full precision. Measured on v5e (docs/BENCH_PPO_TPU_v5e.json):
+    # cuts the in-situ update marginal without moving the learning curve
+    # (LEARNING_CURVE gate).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, obs):
         act = {"tanh": nn.tanh, "relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        cdtype = jnp.dtype(self.compute_dtype)
 
         def trunk(name):
-            x = obs
+            x = obs.astype(cdtype)
             for i, h in enumerate(self.hidden_sizes):
                 # TP layout: even layers shard the output dim, odd layers the
                 # input dim, so activations alternate sharded/replicated and
@@ -45,6 +54,7 @@ class ActorCritic(nn.Module):
                 x = nn.Dense(
                     h,
                     name=f"{name}_dense_{i}",
+                    dtype=cdtype,
                     kernel_init=nn.with_partitioning(
                         nn.initializers.orthogonal(jnp.sqrt(2.0)), kernel_spec
                     ),
@@ -61,33 +71,39 @@ class ActorCritic(nn.Module):
             logits = nn.Dense(
                 self.action_dim,
                 name="actor_logits",
+                dtype=cdtype,
                 kernel_init=nn.with_partitioning(
                     nn.initializers.orthogonal(0.01), P(None, None)
                 ),
             )(pi)
-            head: Tuple = (logits,)
+            head: Tuple = (logits.astype(jnp.float32),)
         else:
             mean = nn.Dense(
                 self.action_dim,
                 name="actor_mean",
+                dtype=cdtype,
                 kernel_init=nn.with_partitioning(
                     nn.initializers.orthogonal(0.01), P(None, None)
                 ),
             )(pi)
+            # Explicit float32: the initializer's default dtype follows
+            # jnp.float_, which is float64 under x64 (the test backend).
             log_std = self.param(
-                "log_std", nn.initializers.zeros_init(), (self.action_dim,)
+                "log_std", nn.initializers.zeros_init(), (self.action_dim,),
+                jnp.float32,
             )
-            head = (mean, log_std)
+            head = (mean.astype(jnp.float32), log_std)
 
         v = trunk("critic")
         value = nn.Dense(
             1,
             name="critic_value",
+            dtype=cdtype,
             kernel_init=nn.with_partitioning(
                 nn.initializers.orthogonal(1.0), P(None, None)
             ),
         )(v)
-        return head + (value.squeeze(-1),)
+        return head + (value.squeeze(-1).astype(jnp.float32),)
 
 
 def continuous_action_transform(raw, max_current, max_duration):

@@ -40,6 +40,10 @@ class PPOConfig(NamedTuple):
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     hidden_sizes: Tuple[int, ...] = (256, 256)
+    # Network matmul compute dtype ('float32' | 'bfloat16'). bfloat16 runs
+    # the policy/value Dense layers at the MXU's native rate with float32
+    # params/optimizer/loss math (see networks.ActorCritic.compute_dtype).
+    compute_dtype: str = "float32"
 
 
 class TrainState(NamedTuple):
@@ -78,6 +82,7 @@ class PPOTrainer:
             action_dim=env.num_actions if self.discrete else 2,
             discrete=self.discrete,
             hidden_sizes=config.hidden_sizes,
+            compute_dtype=config.compute_dtype,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),

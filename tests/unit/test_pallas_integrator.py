@@ -316,3 +316,25 @@ def test_pallas_matches_xla_randomized_configs():
             np.asarray(out[1]), np.asarray(ref.n_substeps), err_msg=label)
         np.testing.assert_array_equal(
             np.asarray(out[3]), np.asarray(ref.failed), err_msg=label)
+
+
+def test_cos_sin_2pi_accuracy():
+    """The quadrant-folded Cephes polynomials must match libm cos/sin of
+    2*pi*u to ~1 ulp-class absolute error over the whole input domain,
+    including the quadrant boundaries (u = k/8) and the wrap at u->1."""
+    from spintorque_tpu.ops.pallas_integrator import _cos_sin_2pi
+
+    u = np.concatenate([
+        np.linspace(0.0, 1.0, 200_001, dtype=np.float64)[:-1],
+        np.asarray([0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875,
+                    1.0 - 2**-24]),
+    ])
+    c, s = _cos_sin_2pi(jnp.asarray(u, jnp.float32))
+    theta = 2.0 * np.pi * u.astype(np.float64)
+    err_c = np.abs(np.asarray(c, np.float64) - np.cos(theta))
+    err_s = np.abs(np.asarray(s, np.float64) - np.sin(theta))
+    assert err_c.max() < 4e-7, err_c.max()
+    assert err_s.max() < 4e-7, err_s.max()
+    # unit norm to float32 rounding
+    norm = np.asarray(c, np.float64) ** 2 + np.asarray(s, np.float64) ** 2
+    assert np.abs(norm - 1.0).max() < 1e-6

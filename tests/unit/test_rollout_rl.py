@@ -121,3 +121,31 @@ def test_ppo_checkpoint_roundtrip(tmp_path):
     assert len(orig) == len(back)
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ppo_bfloat16_compute_dtype():
+    """compute_dtype='bfloat16' (MXU-rate matmuls, f32 params/loss math):
+    params must stay float32, outputs float32, training must run with
+    finite losses, and the f32/bf16 policies must agree to bf16 resolution
+    at init (same params, same obs)."""
+    env = make_env(batch=32, max_steps=8)
+    cfg = dict(rollout_steps=8, num_epochs=2, num_minibatches=2,
+               hidden_sizes=(32, 32))
+    tr16 = PPOTrainer(env, PPOConfig(compute_dtype="bfloat16", **cfg))
+    ts = tr16.init(jax.random.PRNGKey(0))
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree.leaves(ts.params)
+    ), "params must stay float32 under bfloat16 compute"
+    mean, log_std, value = tr16.network.apply({"params": ts.params}, ts.obs)
+    assert mean.dtype == jnp.float32 and value.dtype == jnp.float32
+
+    tr32 = PPOTrainer(env, PPOConfig(compute_dtype="float32", **cfg))
+    mean32, _, value32 = tr32.network.apply({"params": ts.params}, ts.obs)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean32),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(value), np.asarray(value32),
+                               atol=0.05)
+
+    for _ in range(2):
+        ts, metrics = tr16.train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
