@@ -116,7 +116,17 @@ def main():
 
     try:
         trainer.update_from_traj = no_update
-        noupdate_step = jax.jit(trainer._train_step_impl)
+
+        # A DISTINCT plain function, not jax.jit(trainer._train_step_impl):
+        # bound methods compare/hash equal by (instance, function), so that
+        # spelling silently REUSES the production wrapper's cached
+        # executable and the trace-time patch never takes effect (measured:
+        # identical runtimes and a 0.4 s "compile"; this was round-4's
+        # negative-unaccounted mystery's sibling).
+        def ablated_impl(ts):
+            return trainer._train_step_impl(ts)
+
+        noupdate_step = jax.jit(ablated_impl)
         t_noupd, _ = timed(
             noupdate_step, ts, block=lambda r: r[0].params,
             label="train_step(update ablated)",

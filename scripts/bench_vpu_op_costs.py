@@ -128,14 +128,22 @@ def main():
     print("isolated ns/op/vreg:", isolated, flush=True)
 
     # Sampler op inventory per 3-normal field draw (rk4_noise='per_substep'
-    # = one field per substep), from ops/pallas_integrator.py:
-    #   1.5 x _normal_pair_from_bits, each:
-    #     log x1, cos x1, sqrt x2 (r and the sin half), select x1 (sign),
-    #     ~12 simple ops (bit ops, bitcasts, mul/add/sub)
-    #   + 3 sigma multiplies + 3 adds into the field (in the RHS)
-    inv = {"log": 1.5, "cos": 1.5, "sqrt": 3.0, "select": 1.5,
-           "simple": 1.5 * 12 + 6}
+    # = one field per substep), from the CURRENT ops/pallas_integrator.py
+    # sampler (round 5, quadrant-folded trig — _normal_pair_from_bits +
+    # _cos_sin_2pi): 1.5 transforms, each = log x1 (r^2), sqrt x1 (r),
+    # ~4 selects (quadrant swap/sign), ~37 simple ops (two uniform
+    # constructions, fold arithmetic, the two Cephes polynomials, bit
+    # ops, r*c / r*s); + 3 sigma multiplies + 3 adds into the field.
+    inv = {"log": 1.5, "sqrt": 1.5, "select": 6.0, "simple": 1.5 * 37 + 6}
     sampler_ns_per_vreg = sum(isolated[k] * v for k, v in inv.items())
+
+    # The round-4 sampler this analysis originally priced (libm cos +
+    # sign-times-sqrt sin recovery) — kept on record because its ~64
+    # ns/vreg cos line item is what motivated the trig fold
+    # (docs/BENCH_TRIG_FOLD_TPU_v5e.json).
+    inv_prefold = {"log": 1.5, "cos": 1.5, "sqrt": 3.0, "select": 1.5,
+                   "simple": 1.5 * 12 + 6}
+    prefold_ns = sum(isolated[k] * v for k, v in inv_prefold.items())
 
     # The RK4 deterministic body (easy_z RHS x4 stages + combine +
     # normalize): ~185 mul/add-class ops + 1 sqrt + 3 div + selects
@@ -156,14 +164,25 @@ def main():
         "isolated_ns_per_op_per_vreg": isolated,
         "sampler_inventory_per_substep_field": inv,
         "sampler_pred_ns_per_vreg_substep": round(sampler_ns_per_vreg, 2),
+        "prefold_sampler_inventory": inv_prefold,
+        "prefold_sampler_pred_ns_per_vreg_substep": round(prefold_ns, 2),
         "det_body_inventory_per_substep": det_inv,
         "det_pred_ns_per_vreg_substep": round(det_ns_per_vreg, 2),
         "note": (
-            "Multiply ns/vreg by (4096 env / 1024 env-per-vreg) = 4 vregs "
-            "to compare with the roofline's us-per-substep-batch marginals "
-            "(docs/ROOFLINE_TPU_v5e.json). If sampler_pred explains the "
-            "measured thermal-det marginal gap, the 35.8%-of-ceiling figure "
-            "is an artifact of counting transcendentals as single-slot ops."
+            "Comparison scale: ns/vreg x 4 vregs (4096 envs / 1024 per vreg) "
+            "vs the roofline marginals (docs/ROOFLINE_TPU_v5e.json). Serial- "
+            "latency predictions consistently overstate the pipelined kernel "
+            "by ~2.4-3.1x (the chains' ILP): det 304 ns/vreg -> 1.22 us "
+            "serial vs 0.399 measured (3.1x); CURRENT folded sampler 116 "
+            "ns/vreg -> 0.46 us serial vs the measured 0.197 us thermal-det "
+            "marginal gap (2.4x); PRE-FOLD sampler 180 ns/vreg -> 0.72 us "
+            "serial vs round-4's measured 0.243 us gap (3.0x). The closed "
+            "loop says: (a) the round-4 '35.8% of ops ceiling' figure was an "
+            "op-counting artifact (a transcendental is not one slot - cos "
+            "alone is ~48 simple-op equivalents), and (b) the remaining "
+            "thermal premium is the folded sampler's log/sqrt/polynomial "
+            "work at its measured per-op price, i.e. near the real cycle "
+            "floor."
         ),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(

@@ -98,8 +98,11 @@ def main():
 
     if args.rehearsal:
         # Must precede the jax import (and out-prioritize any TPU plugin).
+        # The pool-IPs override must be UNCONDITIONAL: setdefault would be
+        # a no-op exactly when the axon tunnel is configured, and a
+        # rehearsal must never dial the (single-process) TPU.
         os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (

@@ -30,22 +30,28 @@ class ActorCritic(nn.Module):
     discrete: bool = False
     hidden_sizes: Sequence[int] = (256, 256)
     activation: str = "tanh"
-    # MXU compute dtype for the Dense layers. Parameters and optimizer
-    # state stay float32 (flax param_dtype default); 'bfloat16' runs the
-    # matmuls at the MXU's native rate and the heads cast back to float32
-    # before any probability/loss math, so log-prob ratios and GAE stay in
-    # full precision. Measured on v5e (docs/BENCH_PPO_TPU_v5e.json):
-    # cuts the in-situ update marginal without moving the learning curve
-    # (LEARNING_CURVE gate).
-    compute_dtype: str = "float32"
+    # MXU compute dtype for the Dense layers. None (default) preserves
+    # flax's promotion semantics: inputs keep their dtype (float64 on the
+    # x64 analysis/test backend stays float64 end-to-end). 'bfloat16'
+    # runs the matmuls at the MXU's native rate with float32 params and
+    # optimizer state (flax param_dtype default), and the heads cast back
+    # to float32 before any probability/loss math, so log-prob ratios and
+    # GAE stay in full precision (bench: scripts/bench_ppo.py
+    # --compute-dtype bfloat16; learning gate: examples/train_ppo.py).
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, obs):
         act = {"tanh": nn.tanh, "relu": nn.relu, "gelu": nn.gelu}[self.activation]
-        cdtype = jnp.dtype(self.compute_dtype)
+        cdtype = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+
+        def _out(x):
+            """Head output dtype: full precision under a reduced compute
+            dtype, untouched promotion semantics otherwise."""
+            return x if cdtype is None else x.astype(jnp.float32)
 
         def trunk(name):
-            x = obs.astype(cdtype)
+            x = obs if cdtype is None else obs.astype(cdtype)
             for i, h in enumerate(self.hidden_sizes):
                 # TP layout: even layers shard the output dim, odd layers the
                 # input dim, so activations alternate sharded/replicated and
@@ -76,7 +82,7 @@ class ActorCritic(nn.Module):
                     nn.initializers.orthogonal(0.01), P(None, None)
                 ),
             )(pi)
-            head: Tuple = (logits.astype(jnp.float32),)
+            head: Tuple = (_out(logits),)
         else:
             mean = nn.Dense(
                 self.action_dim,
@@ -92,7 +98,7 @@ class ActorCritic(nn.Module):
                 "log_std", nn.initializers.zeros_init(), (self.action_dim,),
                 jnp.float32,
             )
-            head = (mean.astype(jnp.float32), log_std)
+            head = (_out(mean), log_std)
 
         v = trunk("critic")
         value = nn.Dense(
@@ -103,7 +109,7 @@ class ActorCritic(nn.Module):
                 nn.initializers.orthogonal(1.0), P(None, None)
             ),
         )(v)
-        return head + (value.squeeze(-1).astype(jnp.float32),)
+        return head + (_out(value.squeeze(-1)),)
 
 
 def continuous_action_transform(raw, max_current, max_duration):
