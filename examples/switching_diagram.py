@@ -61,7 +61,9 @@ with open("results/switching_diagram.json", "w") as fh:
         {
             "currents": np.asarray(currents).tolist(),
             "durations": np.asarray(durations).tolist(),
-            "p_switch": [[v if np.isfinite(v) else None for v in row] for row in p],
+            # float(): row elements are np.float32, which json rejects.
+            "p_switch": [[float(v) if np.isfinite(v) else None for v in row]
+                         for row in p],
         },
         fh, indent=2,
     )
