@@ -406,6 +406,7 @@ class GymSpinTorqueArrayEnv(gym.Env):
         include_coupling: bool = True,
         coupling_strength: float = 0.1,
         coupling_type: str = "dipolar",
+        coupling_update: str = "sequential",
         reward_components: Optional[Dict[str, Dict]] = None,
         action_mode: str = "individual",
         observation_mode: str = "array",
@@ -428,6 +429,7 @@ class GymSpinTorqueArrayEnv(gym.Env):
             max_duration=max_duration, temperature=temperature,
             include_coupling=include_coupling,
             coupling_strength=coupling_strength, coupling_type=coupling_type,
+            coupling_update=coupling_update,
             action_mode=action_mode, observation_mode=observation_mode,
             success_threshold=success_threshold,
             energy_penalty_weight=energy_penalty_weight,

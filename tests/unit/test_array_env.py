@@ -240,3 +240,20 @@ def test_simultaneous_scales_to_large_arrays():
     assert np.isfinite(np.asarray(state.pattern)).all()
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(state.pattern), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_gym_adapter_exposes_coupling_update():
+    """gym.make must ROUTE the knob, not swallow it in **extra (review
+    follow-up: the kwarg was silently accepted but dropped)."""
+    import gymnasium as gym
+
+    import spintorque_tpu.registration  # noqa: F401  (registers ids)
+
+    e = gym.make("SpinTorqueArray-v0", coupling_update="simultaneous")
+    try:
+        assert e.unwrapped._env.config.coupling_update == "simultaneous"
+        e.reset(seed=0)
+        _, r, *_ = e.step(np.asarray([5.0, 1e6, 1e-9]))
+        assert np.isfinite(float(r))
+    finally:
+        e.close()
