@@ -29,6 +29,22 @@ except ImportError as e:  # pragma: no cover
 from .spin_torque import SpinTorqueEnv, SpinTorqueEnvConfig
 
 
+def _warn_ignored_kwargs(cls_name: str, extra: dict) -> None:
+    """The adapters tolerate unknown ctor kwargs (gym.make merges
+    registration defaults with user kwargs, and reference-style call sites
+    pass device fields loosely) — but tolerance must not mean SILENCE: a
+    misspelled or unrouted knob (e.g. the coupling_update slip this guard
+    came from) would otherwise quietly run default physics."""
+    if extra:
+        import warnings
+
+        warnings.warn(
+            f"{cls_name}: ignoring unknown constructor kwargs "
+            f"{sorted(extra)} (unrecognized by this environment)",
+            stacklevel=3,
+        )
+
+
 def _make_spaces(env: SpinTorqueEnv):
     """Spaces declared in the ENV's float dtype: under jax x64 the env
     computes float64 observations, and a space that claims float32 then
@@ -125,6 +141,15 @@ class GymSpinTorqueEnv(gym.Env):
         seed: Optional[int] = None,
         batch_size: int = 1,
         dtype: str | None = None,
+        # TPU-native integrator knobs beyond the reference surface — routed
+        # explicitly so they cannot be silently swallowed by ``extra``
+        # (review finding; SpinTorqueEnvConfig documents each).
+        method: str = "rk4",
+        max_substeps: int = 0,
+        noise_mode: str = "reference",
+        rk4_noise: str = "per_substep",
+        use_pallas: bool | None = None,
+        bf16_rhs: bool = False,
         **extra,
     ):
         # This adapter is the reference-faithful compatibility surface; the
@@ -133,6 +158,7 @@ class GymSpinTorqueEnv(gym.Env):
         # enabled (the parity/test configuration). On backends without x64
         # (TPU) it falls back to float32; the functional/vector API defaults
         # to float32 everywhere for speed.
+        _warn_ignored_kwargs("GymSpinTorqueEnv", extra)
         if dtype is None:
             dtype = "float64" if jax.config.jax_enable_x64 else "float32"
         super().__init__()
@@ -154,6 +180,12 @@ class GymSpinTorqueEnv(gym.Env):
             energy_penalty_weight=energy_penalty_weight,
             autoreset=False,
             dtype=dtype,
+            method=method,
+            max_substeps=max_substeps,
+            noise_mode=noise_mode,
+            rk4_noise=rk4_noise,
+            use_pallas=use_pallas,
+            bf16_rhs=bf16_rhs,
         )
         self._build_env()
         self.render_mode = render_mode
@@ -419,6 +451,7 @@ class GymSpinTorqueArrayEnv(gym.Env):
     ):
         from .array import ArrayEnvConfig, SpinTorqueArrayEnv
 
+        _warn_ignored_kwargs("GymSpinTorqueArrayEnv", extra)
         super().__init__()
         if dtype is None:
             dtype = "float64" if jax.config.jax_enable_x64 else "float32"
@@ -580,6 +613,7 @@ class GymSkyrmionRacetrackEnv(gym.Env):
     ):
         from .skyrmion import SkyrmionEnvConfig, SkyrmionRacetrackEnv
 
+        _warn_ignored_kwargs("GymSkyrmionRacetrackEnv", extra)
         super().__init__()
         if dtype is None:
             dtype = "float64" if jax.config.jax_enable_x64 else "float32"

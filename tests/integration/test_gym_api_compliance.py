@@ -76,3 +76,32 @@ def test_gym_adapter_thermal_passes_checker():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         check_env(env, skip_render_check=True)
+
+
+def test_adapter_routes_integrator_knobs_and_warns_on_unknown():
+    """TPU-native integrator knobs must reach the config through the gym
+    surface, and unknown kwargs must WARN instead of silently running
+    default physics (review finding: coupling_update was swallowed)."""
+    import warnings
+
+    from spintorque_tpu.envs.gym_adapter import GymSpinTorqueEnv
+
+    e = GymSpinTorqueEnv(method="euler", noise_mode="physical",
+                         rk4_noise="per_stage", max_substeps=64,
+                         use_pallas=False)
+    try:
+        cfg = e.unwrapped._env.config
+        assert cfg.method == "euler"
+        assert cfg.noise_mode == "physical"
+        assert cfg.rk4_noise == "per_stage"
+        assert cfg.max_substeps == 64
+        assert cfg.use_pallas is False
+    finally:
+        e.close()
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        e = GymSpinTorqueEnv(not_a_real_knob=1)
+        e.close()
+    assert any("not_a_real_knob" in str(x.message) for x in w), (
+        [str(x.message) for x in w])

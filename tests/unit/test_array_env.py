@@ -247,7 +247,12 @@ def test_gym_adapter_exposes_coupling_update():
     follow-up: the kwarg was silently accepted but dropped)."""
     import gymnasium as gym
 
-    import spintorque_tpu.registration  # noqa: F401  (registers ids)
+    from spintorque_tpu.registration import register_envs
+
+    # force=True: the parity tests import the reference package, whose
+    # import side effect re-registers these ids pointing at ITS envs;
+    # reclaim them (module import alone is cached and would not).
+    register_envs(force=True)
 
     e = gym.make("SpinTorqueArray-v0", coupling_update="simultaneous")
     try:
