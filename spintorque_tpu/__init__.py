@@ -11,7 +11,7 @@ Importing the package registers the Gymnasium environment ids
 reference (spin_torque_gym/__init__.py:14-32).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import constants, devices, physics, rewards
 from .devices import DeviceFactory, DeviceParams, create_device

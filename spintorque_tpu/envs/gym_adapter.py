@@ -143,13 +143,15 @@ class GymSpinTorqueEnv(gym.Env):
         dtype: str | None = None,
         # TPU-native integrator knobs beyond the reference surface — routed
         # explicitly so they cannot be silently swallowed by ``extra``
-        # (review finding; SpinTorqueEnvConfig documents each).
-        method: str = "rk4",
-        max_substeps: int = 0,
-        noise_mode: str = "reference",
-        rk4_noise: str = "per_substep",
+        # (review finding). None = "not supplied": only user-provided
+        # values are forwarded, so SpinTorqueEnvConfig stays the single
+        # source of truth for defaults (it documents each knob).
+        method: str | None = None,
+        max_substeps: int | None = None,
+        noise_mode: str | None = None,
+        rk4_noise: str | None = None,
         use_pallas: bool | None = None,
-        bf16_rhs: bool = False,
+        bf16_rhs: bool | None = None,
         **extra,
     ):
         # This adapter is the reference-faithful compatibility surface; the
@@ -180,13 +182,16 @@ class GymSpinTorqueEnv(gym.Env):
             energy_penalty_weight=energy_penalty_weight,
             autoreset=False,
             dtype=dtype,
-            method=method,
-            max_substeps=max_substeps,
-            noise_mode=noise_mode,
-            rk4_noise=rk4_noise,
-            use_pallas=use_pallas,
-            bf16_rhs=bf16_rhs,
         )
+        # use_pallas=None is itself the config's meaningful "auto" default,
+        # so forwarding only non-None values is behavior-preserving there.
+        self._cfg_kwargs.update({
+            k: v for k, v in dict(
+                method=method, max_substeps=max_substeps,
+                noise_mode=noise_mode, rk4_noise=rk4_noise,
+                use_pallas=use_pallas, bf16_rhs=bf16_rhs,
+            ).items() if v is not None
+        })
         self._build_env()
         self.render_mode = render_mode
         self.action_space, self.observation_space = _make_spaces(self._env)

@@ -29,6 +29,13 @@ def measure_env_throughput(
     make_action=None,
     return_final=False,
     mesh=None,
+    # 'block' (production) or 'host_read': how each timed block is ended.
+    # scripts/check_sync_discipline.py runs THIS program both ways to
+    # certify that block_until_ready is a sound sync for it (the remote
+    # pool overlaps independent tiny calls, but these dispatches chain
+    # through state) - keeping the validation tied to the real program,
+    # not a lookalike.
+    final_sync: str = "block",
 ):
     """Steady-state throughput of the public vectorized env step program.
 
@@ -106,12 +113,22 @@ def measure_env_throughput(
     # report 2-10x low with 4x-wide CIs.
     import numpy as _np
 
+    if final_sync not in ("block", "host_read"):
+        raise ValueError(f"final_sync must be 'block' or 'host_read', got {final_sync!r}")
+
+    def sync(obs, r):
+        if final_sync == "host_read":
+            float(r)  # host scalar fetch: forces full remote completion
+        else:
+            jax.block_until_ready(obs)
+
     n_keys = warmup + blocks * iters_per_block
     subs = _np.asarray(jax.random.split(key, n_keys))
     ki = 0
+    r = None
     for _ in range(warmup):
-        state, obs, _ = step_n(state, obs, subs[ki]); ki += 1
-    jax.block_until_ready(obs)
+        state, obs, r = step_n(state, obs, subs[ki]); ki += 1
+    sync(obs, r)
 
     steps_per_block = iters_per_block * n_inner * env.batch_size
     rates = []
@@ -119,7 +136,7 @@ def measure_env_throughput(
         t0 = time.perf_counter()
         for _ in range(iters_per_block):
             state, obs, r = step_n(state, obs, subs[ki]); ki += 1
-        jax.block_until_ready(obs)
+        sync(obs, r)
         rates.append(steps_per_block / (time.perf_counter() - t0))
     if return_final:
         return rates, steps_per_block, obs
