@@ -294,3 +294,30 @@ def test_adaptive_facade_zero_span_nonfinite_fallback():
     np.testing.assert_allclose(np.asarray(out["m"]), [0.0, 0.0, 1.0])
     out = s.solve(np.array([np.nan, 0.0, 0.5]), (0.0, 0.0), dp)
     np.testing.assert_allclose(np.asarray(out["m"]), [0.0, 0.0, 1.0])
+
+
+def test_radau_matches_rk45_on_randomized_per_env_params():
+    """Property check on the order-5 implicit path: for a batch of envs
+    with RANDOMIZED per-env physics (damping, anisotropy, current) the
+    implicit and explicit families must land on the same solution of the
+    same ODE (they share llgs_solver_rhs; only the stepper differs).
+    Also exercises the batched 9x9 Newton with heterogeneous Jacobians."""
+    rng = np.random.default_rng(5)
+    B = 8
+    params = PARAMS.replace(
+        damping=jnp.asarray(rng.uniform(0.02, 0.4, B)),
+        uniaxial_anisotropy=jnp.asarray(rng.uniform(4e5, 1.6e6, B)),
+    )
+    m = rng.normal(size=(B, 3))
+    m /= np.linalg.norm(m, axis=-1, keepdims=True)
+    m0 = tuple(jnp.asarray(m[:, c]) for c in range(3))
+    spans = jnp.full((B,), 3e-10)
+    cur = jnp.asarray(rng.uniform(-2e-11, 2e-11, B))
+    rad = integrate_adaptive(m0, spans, cur, params, rtol=1e-7, atol=1e-10,
+                             method="radau")
+    exp = integrate_adaptive(m0, spans, cur, params, rtol=1e-7, atol=1e-10,
+                             method="rk45")
+    assert bool(rad.success.all()) and bool(exp.success.all())
+    a = np.stack([np.asarray(c) for c in rad.m], axis=-1)
+    b = np.stack([np.asarray(c) for c in exp.m], axis=-1)
+    np.testing.assert_allclose(a, b, atol=3e-5)
