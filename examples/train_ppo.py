@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--compute-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="network matmul dtype (the bf16 learning gate)")
+    ap.add_argument("--shared-trunk", action="store_true",
+                    help="one trunk for both heads (the shared-trunk gate)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -44,7 +46,8 @@ def main():
         env,
         PPOConfig(rollout_steps=8, num_epochs=4, num_minibatches=4,
                   hidden_sizes=(64, 64), learning_rate=1e-3, ent_coef=0.01,
-                  compute_dtype=args.compute_dtype),
+                  compute_dtype=args.compute_dtype,
+                  shared_trunk=args.shared_trunk),
     )
     curve = []
 

@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--compute-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="network matmul dtype (PPOConfig.compute_dtype)")
+    ap.add_argument("--shared-trunk", action="store_true",
+                    help="one trunk for both heads (PPOConfig.shared_trunk)")
     ap.add_argument("--out", default=None,
                     help="artifact path; default writes the canonical "
                          "docs/BENCH_PPO_TPU_v5e.json ONLY for the "
@@ -75,6 +77,7 @@ def main():
         num_epochs=args.epochs,
         num_minibatches=args.minibatches,
         compute_dtype=args.compute_dtype,
+        shared_trunk=args.shared_trunk,
     )
     trainer = PPOTrainer(env, cfg)
     ts = trainer.init(jax.random.PRNGKey(0))
@@ -83,6 +86,7 @@ def main():
         "batch": args.batch,
         "rollout_steps": args.rollout,
         "compute_dtype": args.compute_dtype,
+        "shared_trunk": args.shared_trunk,
         "use_pallas": bool(env.config.use_pallas),
         "backend": jax.default_backend(),
     }
@@ -234,6 +238,7 @@ def main():
         (args.batch, args.rollout, args.epochs, args.minibatches)
         == (4096, 16, 4, 4)
         and args.compute_dtype == PPOConfig().compute_dtype
+        and args.shared_trunk == PPOConfig().shared_trunk
         and jax.default_backend() == "tpu"
     )
     out = args.out

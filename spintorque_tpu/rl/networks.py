@@ -39,6 +39,11 @@ class ActorCritic(nn.Module):
     # GAE stay in full precision (bench: scripts/bench_ppo.py
     # --compute-dtype bfloat16; learning gate: examples/train_ppo.py).
     compute_dtype: str | None = None
+    # One trunk feeding both heads instead of separate actor/critic MLPs:
+    # halves the trunk matmul work in rollout AND update (the PPO update
+    # is the train step's dominant non-env cost). Standard PPO practice;
+    # default False preserves the recorded artifacts' architecture.
+    shared_trunk: bool = False
 
     @nn.compact
     def __call__(self, obs):
@@ -72,7 +77,11 @@ class ActorCritic(nn.Module):
                 x = act(x)
             return x
 
-        pi = trunk("actor")
+        if self.shared_trunk:
+            pi = v = trunk("shared")
+        else:
+            pi = trunk("actor")
+            v = trunk("critic")
         if self.discrete:
             logits = nn.Dense(
                 self.action_dim,
@@ -100,7 +109,6 @@ class ActorCritic(nn.Module):
             )
             head = (_out(mean), log_std)
 
-        v = trunk("critic")
         value = nn.Dense(
             1,
             name="critic_value",

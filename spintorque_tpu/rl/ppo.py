@@ -44,6 +44,9 @@ class PPOConfig(NamedTuple):
     # the policy/value Dense layers at the MXU's native rate with float32
     # params/optimizer/loss math (see networks.ActorCritic.compute_dtype).
     compute_dtype: str = "float32"
+    # One trunk for both heads (standard PPO option): halves the trunk
+    # matmul work in rollout and update (networks.ActorCritic.shared_trunk).
+    shared_trunk: bool = False
 
 
 class TrainState(NamedTuple):
@@ -83,6 +86,7 @@ class PPOTrainer:
             discrete=self.discrete,
             hidden_sizes=config.hidden_sizes,
             compute_dtype=config.compute_dtype,
+            shared_trunk=config.shared_trunk,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),

@@ -149,3 +149,22 @@ def test_ppo_bfloat16_compute_dtype():
     for _ in range(2):
         ts, metrics = tr16.train_step(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ppo_shared_trunk():
+    """shared_trunk=True: one trunk feeds both heads — roughly half the
+    trunk parameters, training runs with finite losses."""
+    env = make_env(batch=32, max_steps=8)
+    cfg = dict(rollout_steps=8, num_epochs=2, num_minibatches=2,
+               hidden_sizes=(32, 32))
+    tr_shared = PPOTrainer(env, PPOConfig(shared_trunk=True, **cfg))
+    tr_sep = PPOTrainer(env, PPOConfig(shared_trunk=False, **cfg))
+    ts_shared = tr_shared.init(jax.random.PRNGKey(0))
+    ts_sep = tr_sep.init(jax.random.PRNGKey(0))
+    n_shared = sum(x.size for x in jax.tree.leaves(ts_shared.params))
+    n_sep = sum(x.size for x in jax.tree.leaves(ts_sep.params))
+    assert n_shared < 0.7 * n_sep, (n_shared, n_sep)
+    assert any("shared_dense_0" in str(k) for k in ts_shared.params)
+    for _ in range(2):
+        ts_shared, metrics = tr_shared.train_step(ts_shared)
+    assert np.isfinite(float(metrics["loss"]))
